@@ -1,0 +1,354 @@
+"""YAML input handling: schema-driven sanitizers with reference-compatible defaults.
+
+The input file has up to eight sections (options, grid, geometry, numerics,
+properties, gp, db, md); each is validated and filled with defaults.
+
+Parity target: reference GaPFlow/io.py:100-453 (same keys, defaults and
+validation failures, reimplemented as declarative schemas).
+"""
+
+import os
+from datetime import datetime
+
+import yaml
+
+
+# ---------------------------------------------------------------------------
+# Console helpers
+# ---------------------------------------------------------------------------
+
+def print_header(s, n=60, f0="*", f1=" "):
+    if len(s) > n:
+        n = len(s) + 4
+    w = n + len(s) % 2
+    b = (w - len(s)) // 2 - 1
+    print(w * f0)
+    print(f0 + b * f1 + s + b * f1 + f0)
+    print(w * f0)
+
+
+def print_dict(d):
+    for k, v in d.items():
+        if isinstance(v, dict):
+            print(f"  - {k}:")
+            for kk, vv in v.items():
+                print(f"    - {kk:<23s}: {vv}")
+        else:
+            print(f"  - {k:<25s}: {v}")
+
+
+# ---------------------------------------------------------------------------
+# Output directory handling
+# ---------------------------------------------------------------------------
+
+def _get_output_path(name, use_tstamp=True):
+    stamp = ""
+    if use_tstamp:
+        stamp = datetime.now().replace(microsecond=0).strftime("%Y-%m-%d_%H%M%S") + "_"
+    return os.path.join(os.path.dirname(name), stamp + os.path.basename(name))
+
+
+def create_output_directory(name, use_tstamp=True):
+    outdir = _get_output_path(name, use_tstamp)
+    if not os.path.exists(outdir):
+        os.makedirs(outdir)
+    elif len(os.listdir(outdir)) > 0:
+        raise RuntimeError("Output path exists and is not empty.")
+    print_header(f"Writing output into: {outdir}", f0=" ", f1=" ")
+    return outdir
+
+
+def write_yaml(output_dict, fname):
+    with open(fname, "w") as fh:
+        yaml.dump(output_dict, fh)
+
+
+def history_to_csv(fname, out):
+    """Write a dict of equal-length columns as CSV (plain Python, no deps)."""
+    keys = list(out.keys())
+    n = len(out[keys[0]]) if keys else 0
+    with open(fname, "w") as fh:
+        fh.write(",".join(keys) + "\n")
+        for i in range(n):
+            fh.write(",".join(repr(float(out[k][i])) for k in keys) + "\n")
+
+
+def read_history_csv(fname):
+    """Read a CSV written by :func:`history_to_csv` back into a dict of lists."""
+    with open(fname) as fh:
+        header = fh.readline().strip().split(",")
+        cols = {k: [] for k in header}
+        for line in fh:
+            if not line.strip():
+                continue
+            for k, v in zip(header, line.strip().split(",")):
+                cols[k].append(float(v))
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# Section sanitizers
+# ---------------------------------------------------------------------------
+
+def read_yaml_input(file):
+    """Parse and sanitize a YAML input file (or stream) into 8 sections."""
+    print_header("PROBLEM SETUP")
+
+    sanitizers = {
+        "options": sanitize_options,
+        "grid": sanitize_grid,
+        "geometry": sanitize_geometry,
+        "numerics": sanitize_numerics,
+        "properties": sanitize_properties,
+        "gp": sanitize_gp,
+        "db": sanitize_db,
+        "md": sanitize_md,
+    }
+
+    raw = yaml.full_load(file)
+    out = {}
+    for key, func in sanitizers.items():
+        print(f"- {key}:")
+        val = raw.get(key)
+        out[key] = func(val) if val is not None else None
+
+    print_header("PROBLEM SETUP COMPLETED")
+    return out
+
+
+def read_yaml_string(ymlstring):
+    import io as _io
+    with _io.StringIO(ymlstring) as fh:
+        return read_yaml_input(fh)
+
+
+def sanitize_options(d):
+    out = {
+        "output": str(d.get("output", "example")),
+        "write_freq": int(d.get("write_freq", 1000)),
+        "use_tstamp": bool(d.get("use_tstamp", True)),
+        "silent": bool(d.get("silent", False)),
+    }
+    print_dict(out)
+    return out
+
+
+def _axis_extent(d, out, axis):
+    """Resolve (N, L, d) for one axis: user gives N plus either L or spacing."""
+    N_key, L_key, d_key = f"N{axis}", f"L{axis}", f"d{axis}"
+    default_N = 100 if axis == "x" else 1
+    out[N_key] = int(d.get(N_key, default_N))
+    if L_key in d:
+        out[L_key] = float(d.get(L_key, 1.0))
+        out[d_key] = out[L_key] / out[N_key]
+    elif d_key in d:
+        out[d_key] = float(d.get(d_key, 0.1))
+        out[L_key] = out[d_key] * out[N_key]
+    else:
+        raise IOError(f"Must specify grid size ({N_key}) with either {d_key} or {L_key}.")
+
+
+def _axis_bcs(d, out, lo_key, hi_key, lo_val_key, hi_val_key):
+    """Expand per-edge P/D/N triplets into boolean masks and Dirichlet values."""
+    for edge, val_key in ((lo_key, lo_val_key), (hi_key, hi_val_key)):
+        bcs = list(d.get(edge, ["P", "P", "P"]))
+        if not all(b in ("P", "N", "D") for b in bcs):
+            raise AssertionError(f"Invalid BC spec for {edge}: {bcs}")
+        for kind in "PDN":
+            out[f"bc_{edge}_{kind}"] = [b == kind for b in bcs]
+        if any(out[f"bc_{edge}_D"]):
+            dval = d.get(val_key, 1.0 if edge.startswith("x") else None)
+            if dval is None:
+                raise IOError("Need to specify Dirichlet BC value")
+            out[f"bc_{edge}_D_val"] = dval
+
+    if out[f"bc_{lo_key}_P"] != out[f"bc_{hi_key}_P"]:
+        raise AssertionError(
+            f"Periodic BCs must match on opposite edges ({lo_key}/{hi_key}).")
+
+
+def sanitize_grid(d):
+    out = {}
+    _axis_extent(d, out, "x")
+    _axis_extent(d, out, "y")
+    out["dim"] = int(out["Nx"] > 1) + int(out["Ny"] > 1)
+
+    _axis_bcs(d, out, "xE", "xW", "xE_D", "xW_D")
+    _axis_bcs(d, out, "yS", "yN", "yS_D", "yN_D")
+
+    print_dict(out)
+    return out
+
+
+_GEOMETRY_PARAMS = {
+    # type -> list of (key, cast, required?) entries beyond the common ones
+    "inclined": [("hmax", float), ("hmin", float)],
+    "parabolic": [("hmin", float), ("hmax", float)],
+    "cdc": [("hmin", float), ("hmax", float), ("b", float)],
+    "asperity": [("hmin", float), ("hmax", float)],
+}
+
+
+def sanitize_geometry(d):
+    out = {
+        "U": float(d.get("U", 1.0)),
+        "V": float(d.get("V", 0.0)),
+        "type": str(d.get("type", "none")),
+        "flip": bool(d.get("flip", False)),
+    }
+
+    gtype = out["type"]
+    if gtype not in ("journal", "inclined", "parabolic", "cdc", "asperity"):
+        raise IOError("Specify a valid geometry type")
+
+    if gtype == "journal":
+        if "CR" in d and "eps" in d:
+            out["CR"] = float(d["CR"])
+            out["eps"] = float(d["eps"])
+        elif "hmin" in d and "hmax" in d:
+            out["hmin"] = float(d["hmin"])
+            out["hmax"] = float(d["hmax"])
+        else:
+            raise IOError(
+                "Need to specify either clearance ratio and eccentrity "
+                "or min/max gap height")
+    else:
+        for key, cast in _GEOMETRY_PARAMS[gtype]:
+            out[key] = cast(d.get(key))
+        if gtype == "asperity":
+            out["num"] = int(d.get("num", 1))
+
+    print_dict(out)
+    return out
+
+
+_EOS_SCHEMAS = {
+    "DH": (("rho0", 877.7007), ("P0", 101325), ("C1", 3.5e10), ("C2", 1.23)),
+    "PL": (("rho0", 1.1853), ("P0", 101325), ("alpha", 0.0)),
+    "vdW": (("M", 39.948), ("T", 100.0), ("a", 1.355), ("b", 0.03201)),
+    "MT": (("rho0", 700.0), ("P0", 0.101e6), ("K", 0.557e9), ("n", 7.33)),
+    "cubic": (("a", 15.2), ("b", -9.6), ("c", 3.35), ("d", -0.07)),
+    "BWR": (("T", 2.0), ("gamma", 3.0)),
+    "Bayada": (("rho_l", 850.0), ("rho_v", 0.019), ("c_l", 1600.0), ("c_v", 352.0)),
+    "MD": (("rho0", 1.0),),
+}
+
+_PIEZO_SCHEMAS = {
+    "Roelands": (("mu_inf", 1.0e-3), ("p_ref", 1.96e8), ("z", 0.68)),
+    "Barus": (("aB", 20e-9),),
+    "Dukler": (("eta_v", 3.9e-5), ("rho_l", 850.0), ("rho_v", 0.019)),
+    "McAdams": (("eta_v", 3.9e-5), ("rho_l", 850.0), ("rho_v", 0.019)),
+}
+
+_THINNING_SCHEMAS = {
+    "Carreau": (("mu_inf", 1.0e-9), ("lam", 1e-6), ("a", 2.0), ("N", 0.6)),
+    "Eyring": (("tauE", 5.0e5),),
+}
+
+
+def sanitize_properties(d):
+    out = {}
+
+    out["shear"] = float(d.get("shear", -1.0))
+    if out["shear"] < 0.0:
+        raise IOError("Specify a (non-negative) shear viscosity")
+    out["bulk"] = float(d.get("bulk", -1.0))
+    if out["bulk"] < 0.0:
+        raise IOError("Specify a (non-negative) bulk viscosity")
+
+    out["EOS"] = str(d.get("EOS", "none"))
+    if out["EOS"] not in _EOS_SCHEMAS:
+        raise IOError("Specify a valid equation of state")
+    for key, default in _EOS_SCHEMAS[out["EOS"]]:
+        out[key] = float(d.get(key, default))
+    if "rho0" not in out:
+        out["rho0"] = float(d.get("rho0", 1.0))
+
+    if "piezo" in d:
+        name = str(d["piezo"].get("name", "none"))
+        out["piezo"] = {"name": name}
+        for key, default in _PIEZO_SCHEMAS.get(name, ()):
+            out["piezo"][key] = float(d["piezo"].get(key, default))
+
+    if "thinning" in d:
+        name = str(d["thinning"].get("name", "none"))
+        out["thinning"] = {"name": name}
+        for key, default in _THINNING_SCHEMAS.get(name, ()):
+            out["thinning"][key] = float(d["thinning"].get(key, default))
+
+    if "elastic" in d:
+        out["elastic"] = {
+            "enabled": True,
+            "E": float(d["elastic"].get("E", 210e09)),
+            "v": float(d["elastic"].get("v", 0.3)),
+            "alpha_underrelax": float(d["elastic"].get("alpha_underrelax", 1e-03)),
+            "n_images": int(d["elastic"].get("n_images", 10)),
+        }
+    else:
+        out["elastic"] = {"enabled": False}
+
+    print_dict(out)
+    return out
+
+
+def sanitize_numerics(d):
+    out = {
+        "tol": float(d.get("tol", 1e-6)),
+        "max_it": int(d.get("max_it", 1000)),
+        "dt": float(d.get("dt", 3e-10)),
+        "adaptive": bool(d.get("adaptive", False)),
+        "CFL": float(d.get("CFL", 0.5)),
+        "MC_order": int(d.get("MC_order", 1)),
+    }
+    print_dict(out)
+    return out
+
+
+def sanitize_gp(d):
+    out = {
+        "press_gp": "press" in d,
+        "shear_gp": "shear" in d,
+    }
+
+    for sk in ("press", "shear"):
+        if not out[f"{sk}_gp"]:
+            continue
+        ds = d[sk]
+        sub = {
+            "atol": float(ds.get("atol", 1.0)),
+            "rtol": float(ds.get("rtol", 0.5)),
+            "obs_stddev": float(ds.get("obs_stddev", 0.0)),
+            "fix_noise": bool(ds.get("fix_noise", True)),
+            "max_steps": int(ds.get("max_steps", 5)),
+            "pause_steps": int(ds.get("pause_steps", 100)),
+            "active_learning": bool(ds.get("active_learning", True)),
+        }
+        if sk == "press":
+            sub["active_dims"] = list(ds.get("active_dims", [0, 3]))
+        else:
+            ad = ds.get("active_dims", {})
+            sub["active_dims_x"] = ad.get("x", [0, 1, 3])
+            sub["active_dims_y"] = ad.get("y", [0, 2, 3])
+        out[sk] = sub
+
+    print_dict(out)
+    return out
+
+
+def sanitize_db(d):
+    out = {
+        "dtool_path": d.get("dtool_path", None),
+        "init_size": int(d.get("init_size", 5)),
+        "init_method": str(d.get("init_method", "lhc")),
+        "init_width": float(d.get("init_width", 1e-2)),
+        "init_seed": int(d.get("init_seed", 123)),
+    }
+    if out["init_method"] not in ("rand", "lhc", "sobol"):
+        raise AssertionError("init_method must be one of rand/lhc/sobol")
+    print_dict(out)
+    return out
+
+
+def sanitize_md(d):
+    print_dict(d)
+    return d
