@@ -1,0 +1,1 @@
+from .stress import Pressure, WallStress, BulkStress  # noqa: F401

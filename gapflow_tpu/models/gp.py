@@ -1,0 +1,418 @@
+"""Gaussian-process surrogate engine and active-learning orchestration.
+
+The math layer is a self-contained GP implementation in JAX (anisotropic
+Matern-3/2 kernel over linearly scaled inputs, exact Cholesky inference,
+negative-log-marginal-likelihood training).  It replaces the reference's
+tinygp/jaxopt stack (reference GaPFlow/models/gp.py:46-603) with:
+
+- one jitted kernel/solve path shared by conditioning and cached
+  re-prediction, so predict and re-predict agree bitwise;
+- multi-output handling as batched columns through the same Cholesky
+  factor (dense MXU-friendly linear algebra);
+- two trainers: a scipy BFGS driver with jitted value-and-grad (robust
+  default, like the reference) and a fully-jitted Adam path used for
+  on-device refits (benchmarks).
+
+The :class:`GaussianProcessSurrogate` base class implements the
+train/infer/active-learn protocol of the reference: variance-tolerance
+trust test, argmax-variance acquisition into the shared Database, retrain
+caps with pause, hyperparameter history, and cumulative timers.
+"""
+
+import abc
+from copy import deepcopy
+from datetime import datetime
+from functools import partial
+
+import numpy as np
+import scipy.optimize
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# Pure GP math
+# ---------------------------------------------------------------------------
+
+def kernel_fn(params, X1, X2):
+    """amp * Matern32(L2 distance of per-dimension scaled inputs)."""
+    amp = jnp.exp(params["log_amp"])
+    inv_scale = jnp.exp(-params["log_scale"])
+    d = X1[:, None, :] * inv_scale - X2[None, :, :] * inv_scale
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-300)
+    arg = jnp.sqrt(3.) * r
+    return amp * (1. + arg) * jnp.exp(-arg)
+
+
+def kernel_diag(params, X):
+    """Diagonal of the kernel matrix (constant = amp for stationary kernels)."""
+    amp = jnp.exp(params["log_amp"])
+    return jnp.full(X.shape[0], amp)
+
+
+@jax.jit
+def gp_condition(params, X, Y, yerr):
+    """Cholesky factor and weights for training data (the expensive solve).
+
+    Y may be (n,) or (n, m) for m outputs sharing one kernel.
+    Returns the cache (L, alpha, yerr2).
+    """
+    K = kernel_fn(params, X, X)
+    yerr2 = jnp.asarray(yerr) ** 2
+    L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(X.shape[0], dtype=K.dtype))
+    alpha = jax.scipy.linalg.cho_solve((L, True), Y)
+    return L, alpha, yerr2
+
+
+@jax.jit
+def gp_predict_mean(params, X, cache, Xtest):
+    """Predictive mean(s) at Xtest from cached weights; (m, ntest) or (ntest,)."""
+    _, alpha, _ = cache
+    Ks = kernel_fn(params, X, Xtest)
+    mean = Ks.T @ alpha
+    return mean.T
+
+
+@jax.jit
+def gp_predict_mean_var(params, X, cache, Xtest):
+    """Predictive mean(s) and (shared) variance at Xtest.
+
+    Variance includes the observation noise, matching the reference's
+    conditioned-GP variance (reference gp.py:509-522).
+    """
+    L, alpha, yerr2 = cache
+    Ks = kernel_fn(params, X, Xtest)
+    mean = Ks.T @ alpha
+    v = jax.scipy.linalg.solve_triangular(L, Ks, lower=True)
+    var = kernel_diag(params, Xtest) + yerr2 - jnp.sum(v * v, axis=0)
+    return mean.T, var
+
+
+def nlml(params, X, Y, yerr):
+    """Negative log marginal likelihood; multi-output Y sums over columns."""
+    K = kernel_fn(params, X, X)
+    n = X.shape[0]
+    yerr2 = jnp.asarray(yerr) ** 2
+    L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(n, dtype=K.dtype))
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    a = jax.scipy.linalg.solve_triangular(L, Y2, lower=True)
+    m = Y2.shape[1]
+    quad = 0.5 * jnp.sum(a * a)
+    logdet = m * jnp.sum(jnp.log(jnp.diagonal(L)))
+    const = 0.5 * m * n * jnp.log(2. * jnp.pi)
+    return quad + logdet + const
+
+
+_nlml_value_and_grad = jax.jit(jax.value_and_grad(nlml))
+
+
+def fit_hyperparameters(params0, X, Y, yerr, method="BFGS"):
+    """Host-driven NLML minimization (scipy optimizer + jitted value/grad).
+
+    Returns (params, final_objective).
+    """
+    flat0, unravel = jax.flatten_util.ravel_pytree(params0)
+
+    def fun(flat):
+        val, grad = _nlml_value_and_grad(unravel(jnp.asarray(flat)), X, Y, yerr)
+        gflat, _ = jax.flatten_util.ravel_pytree(grad)
+        return float(val), np.asarray(gflat, dtype=np.float64)
+
+    res = scipy.optimize.minimize(fun, np.asarray(flat0, dtype=np.float64),
+                                  jac=True, method=method)
+    return unravel(jnp.asarray(res.x)), float(res.fun)
+
+
+@partial(jax.jit, static_argnames=("lr", "steps"))
+def fit_hyperparameters_jax(params0, X, Y, yerr, lr=0.05, steps=200):
+    """Fully on-device NLML minimization (Adam); used for fast TPU refits."""
+    opt = optax.adam(lr)
+
+    def body(carry, _):
+        params, opt_state = carry
+        val, grad = jax.value_and_grad(nlml)(params, X, Y, yerr)
+        updates, opt_state = opt.update(grad, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), val
+
+    (params, _), vals = jax.lax.scan(body, (params0, opt.init(params0)),
+                                     None, length=steps)
+    return params, vals[-1]
+
+
+# ---------------------------------------------------------------------------
+# Surrogate orchestration
+# ---------------------------------------------------------------------------
+
+class GaussianProcessSurrogate:
+    """Base class: GP training, cached inference and active learning.
+
+    Subclasses (Pressure / WallStress) provide the data plumbing through the
+    abstract properties below.  Protocol parity: reference
+    GaPFlow/models/gp.py:46-506.
+    """
+
+    __metaclass__ = abc.ABCMeta
+
+    name: str
+    is_gp_model: bool
+
+    def __init__(self, fc, database):
+        self._step = 0
+        self.__solution = fc.get_real_field("solution")
+        self.__topo = fc.get_real_field("topography")
+        self.__extra = fc.get_real_field("extra")
+
+        if self.is_gp_model:
+            self.cond_gp = None      # inference cache (cleared to force resolve)
+            self._database = database
+            self._last_fit_train_size = 0
+            self._pause = 0
+            self.params = None
+
+            ref = datetime.now()
+            self._cumtime_train = ref - ref
+            self._cumtime_infer = ref - ref
+
+            self.history = {
+                "step": [], "database_size": [], "variance": [],
+                "obs_stddev": [], "maximum_variance": [], "variance_tol": [],
+            }
+            for li in self.active_dims:
+                self.history[f"lengthscale_{li}"] = []
+
+    # -- abstract data plumbing --------------------------------------------
+    @property
+    @abc.abstractmethod
+    def Xtrain(self):
+        """Normalized training inputs restricted to active dims."""
+
+    @property
+    @abc.abstractmethod
+    def Ytrain(self):
+        """Normalized training targets; (n,) or (n, m)."""
+
+    @property
+    @abc.abstractmethod
+    def Xtest(self):
+        """Normalized test inputs restricted to active dims."""
+
+    @property
+    @abc.abstractmethod
+    def Yscale(self):
+        """Physical scale of the targets."""
+
+    @property
+    @abc.abstractmethod
+    def Yerr(self):
+        """Normalized observation noise standard deviation."""
+
+    # -- convenience --------------------------------------------------------
+    def init_database(self, dim):
+        if self.is_gp_model:
+            self._database.initialize(self._Xtest, dim)
+
+    @property
+    def database(self):
+        return self._database
+
+    @property
+    def last_fit_train_size(self):
+        return self._last_fit_train_size
+
+    @property
+    def solution(self):
+        return self.__solution.p
+
+    @property
+    def height_and_slopes(self):
+        return self.__topo.p[:3]
+
+    @property
+    def height(self):
+        return self.__topo.p[0]
+
+    @property
+    def extra(self):
+        return self.__extra.p
+
+    @property
+    def _Xtest(self):
+        """Feature matrix of every grid point: (rho, jx, jy, h, hx, hy, extra...)."""
+        feats = np.vstack([
+            np.asarray(self.solution),
+            np.asarray(self.height_and_slopes),
+            np.asarray(self.extra),
+        ])
+        return jnp.asarray(feats.reshape(self._database.num_features, -1).T)
+
+    @property
+    def has_multi_output(self):
+        return jnp.ndim(self.Ytrain) > 1
+
+    @property
+    def trusted(self):
+        return self.maximum_variance < self.variance_tol
+
+    @property
+    def kernel_variance(self):
+        return jnp.exp(self.params["log_amp"])
+
+    @property
+    def kernel_lengthscale(self):
+        return jnp.exp(self.params["log_scale"])
+
+    @property
+    def obs_stddev(self):
+        return self.Yerr
+
+    @property
+    def cumtime_train(self):
+        return self._cumtime_train
+
+    @property
+    def cumtime_infer(self):
+        return self._cumtime_infer
+
+    # -- logging ------------------------------------------------------------
+    def write(self):
+        if not self.is_gp_model:
+            return
+        self.history["step"].append(self._step)
+        self.history["database_size"].append(self._database.size)
+        self.history["variance"].append(float(self.kernel_variance))
+        self.history["obs_stddev"].append(float(self.obs_stddev))
+        self.history["maximum_variance"].append(float(self.maximum_variance))
+        self.history["variance_tol"].append(float(self.variance_tol))
+        for i, li in enumerate(self.active_dims):
+            self.history[f"lengthscale_{li}"].append(
+                float(self.kernel_lengthscale[i]))
+
+    def _print_opt_summary(self, obj):
+        print(f"# Objective    : {obj:.5g}")
+        print("# Hyperparam   :", end=" ")
+        print(f"{float(self.kernel_variance):.5e}", end=" ")
+        print(f"{float(self.obs_stddev):.5e}", end=" ")
+        for li in np.atleast_1d(np.asarray(self.kernel_lengthscale)):
+            print(f"{li:.5e}", end=" ")
+        print()
+
+    # -- training & inference ----------------------------------------------
+    def _train(self, reason=0):
+        self._last_fit_train_size = int(self._database.size)
+
+        print("#" + 17 * "-" + f"GP TRAINING ({self.name.upper()})" + 17 * "-")
+        print("# Timestep     :", self._step)
+        print("# Reason       :", ["DB", "AL"][reason])
+        print("# Database size:", self._database.size)
+
+        Y = self.Ytrain
+        self.params, obj = fit_hyperparameters(
+            self.params_init, self.Xtrain, Y, self.Yerr)
+        self._print_opt_summary(obj)
+
+        if self._step > 0:
+            self.write()
+        if reason == 0:
+            print("#" + 50 * "-")
+
+        # force a fresh conditioning with the new data/hyperparameters
+        self.cond_gp = None
+
+    def _ensure_conditioned(self):
+        if self.cond_gp is None:
+            Y = self.Ytrain
+            Ymat = Y if Y.ndim == 2 else Y
+            self._X_at_fit = self.Xtrain
+            self.cond_gp = gp_condition(self.params, self._X_at_fit,
+                                        Ymat, self.Yerr)
+
+    def _infer_mean(self):
+        self._ensure_conditioned()
+        m = gp_predict_mean(self.params, self._X_at_fit, self.cond_gp,
+                            self.Xtest)
+        shape = np.asarray(self.solution).shape[-2:]
+        return (m.reshape(-1, *shape).squeeze() * self.Yscale)
+
+    def _infer_mean_var(self):
+        self._ensure_conditioned()
+        m, v = gp_predict_mean_var(self.params, self._X_at_fit, self.cond_gp,
+                                   self.Xtest)
+        shape = np.asarray(self.solution).shape[-2:]
+        mean = m.reshape(-1, *shape).squeeze() * self.Yscale
+        var = v.reshape(-1, *shape).squeeze() * self.Yscale ** 2
+        return mean, var
+
+    def _infer(self, compute_var=True):
+        if compute_var:
+            mean, self._predictive_var = self._infer_mean_var()
+            self.maximum_variance = jnp.max(self._predictive_var)
+            self.variance_tol = jnp.maximum(
+                self.atol * self.Yerr * self.Yscale,
+                self.rtol * self.Yscale) ** 2
+        else:
+            mean = self._infer_mean()
+        return mean, self._predictive_var
+
+    # -- active learning ----------------------------------------------------
+    def _active_learning(self, var):
+        imax = int(np.argmax(np.asarray(var)))
+        Xnew = self._Xtest[imax, :][None, :]
+        self._database.add_data(Xnew)
+
+    def predict(self, predictor=True, compute_var=True):
+        """Predict mean/variance, retraining and acquiring data as needed."""
+        if predictor:
+            self._step += 1
+            self._pause = max(-1, self._pause - 1)
+            if self._last_fit_train_size < self._database.size:
+                tic = datetime.now()
+                self._train(reason=0)
+                self._cumtime_train += datetime.now() - tic
+
+        tic = datetime.now()
+        m, v = self._infer(compute_var=compute_var and predictor)
+        self._cumtime_infer += datetime.now() - tic
+
+        if self.use_active_learning and predictor and self._pause < 0:
+            counter = 0
+            before = deepcopy(self.maximum_variance / self.variance_tol)
+
+            while not self.trusted and counter < self.max_steps:
+                counter += 1
+                self._active_learning(v)
+
+                tic = datetime.now()
+                self._train(reason=1)
+                self._cumtime_train += datetime.now() - tic
+
+                tic = datetime.now()
+                m, v = self._infer(compute_var=True)
+                self._cumtime_infer += datetime.now() - tic
+
+                after = self.maximum_variance / self.variance_tol
+                print(f"# AL {counter:2d}/{self.max_steps:2d}     : "
+                      f"{float(before):.3f} --> {float(after):.3f}")
+                print("#" + 50 * "-")
+
+            if counter == self.max_steps:
+                print("# Active learning loop missed uncertainty threshold")
+                print(f"# Pause for {self.pause_steps} steps...")
+                print("#" + 50 * "-")
+                self._pause = self.pause_steps
+
+        return m, v
+
+    # -- misc ---------------------------------------------------------------
+    @property
+    def gp(self):
+        """Human-readable kernel/hyperparameter summary (for gp_*.txt)."""
+        if self.params is None:
+            return "<untrained GP>"
+        ls = ", ".join(f"{v:.5e}" for v in
+                       np.atleast_1d(np.asarray(self.kernel_lengthscale)))
+        return (f"GP(kernel=amp * Matern32(L2), amp={float(self.kernel_variance):.5e}, "
+                f"lengthscales=[{ls}], obs_stddev={float(self.obs_stddev):.5e}, "
+                f"n_train={self._last_fit_train_size})")
