@@ -1,0 +1,144 @@
+"""Benchmark: FV step throughput at 1024^2 and GP refit latency at N=2048.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Targets (BASELINE.json): >= 1e9 cell-updates/s/chip on a 1024^2 grid;
+GP refit (kernel build + Cholesky + one NLML opt step) < 5 ms at N=2048.
+
+Runs in float32 on the TPU (GAPFLOW_X64=0); the verification suite runs
+separately in float64 on CPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("GAPFLOW_X64", "0")
+
+import numpy as np  # noqa: E402
+
+
+def bench_fv_step(nx=1024, ny=1024, n_steps=200, warmup=2):
+    import jax
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.step import make_trajectory, make_det_step
+
+    sim = f"""
+options:
+    output: data/bench
+    write_freq: 100000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {nx}
+    Ny: {ny}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.
+numerics:
+    CFL: 0.5
+    adaptive: 0
+    tol: 1e-30
+    dt: 1e-11
+    max_it: 1000000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+
+    state = problem._make_state()
+
+    # fused single-step executable, iterated on-device via scan
+    runner = make_trajectory_steps(problem._solver_cfg, n_steps)
+
+    # warmup & compile; materialize a scalar to be sure everything ran
+    out = runner(state)
+    float(out.q[0, 0, 0])
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = runner(out)
+        out.q.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    float(out.q[0, 0, 0])
+
+    cell_updates = nx * ny * n_steps
+    return cell_updates / float(np.median(times))
+
+
+def make_trajectory_steps(cfg, n):
+    """n fused steps on-device without stacking outputs (pure throughput)."""
+    import jax
+    from jax import lax
+    from gapflow_tpu.core.step import make_det_step
+
+    det_step = make_det_step(cfg, with_aux=False)
+
+    @jax.jit
+    def run(state):
+        return lax.fori_loop(0, n, lambda i, s: det_step(s), state)
+
+    return run
+
+
+def bench_gp_refit(n_train=2048, n_dims=3, iters=20):
+    """Kernel build + Cholesky + one NLML value/grad step, jitted on-device."""
+    import jax
+    import jax.numpy as jnp
+    from gapflow_tpu.models.gp import nlml, gp_condition
+
+    key = jax.random.key(0)
+    X = jax.random.uniform(key, (n_train, n_dims), dtype=jnp.float32)
+    Y = jnp.sin(X[:, 0]) + 0.1 * X[:, 1]
+    params = {"log_amp": jnp.asarray(0., jnp.float32),
+              "log_scale": jnp.zeros(n_dims, jnp.float32)}
+
+    vg = jax.jit(jax.value_and_grad(nlml))
+
+    # one refit = NLML value+grad (opt step) + re-conditioning
+    def refit():
+        val, grad = vg(params, X, Y, 0.01)
+        cache = gp_condition(params, X, Y, 0.01)
+        jax.block_until_ready((val, grad, cache))
+
+    refit()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        refit()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    fv_target = 1e9
+    gp_target = 5e-3
+
+    throughput = bench_fv_step()
+    gp_latency = bench_gp_refit()
+
+    result = {
+        "metric": "FV cell-updates/s/chip @1024^2 (f32); gp_refit_ms @N=2048",
+        "value": float(throughput),
+        "unit": "cell-updates/s",
+        "vs_baseline": float(throughput / fv_target),
+        "gp_refit_ms": float(gp_latency * 1e3),
+        "gp_vs_target": float(gp_target / gp_latency),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -197,6 +197,7 @@ Function families (mode in none/top/bottom/both; "top" = slip at top wall):
 STRESS_ARGS = ["q0", "q1", "q2", "H", "Hx", "Hy",
                "dqx0", "dqx1", "dqx2", "dqy0", "dqy1", "dqy2",
                "U", "V", "eta", "zeta", "Ls"]
+NODQ_ARGS = ["q0", "q1", "q2", "H", "Hx", "Hy", "U", "V", "eta", "zeta", "Ls"]
 
 
 def main():
@@ -226,6 +227,15 @@ def main():
 
         avgs = [finalize(TAU[c], mode, average=True) for c in VOIGT]
         emit_function(f"_tau_avg_{mode}", avgs, STRESS_ARGS, chunks)
+
+        # solver hot-path specialization: state gradients dq are structurally
+        # zero there (reference passes no dq in its hot loop); the expressions
+        # collapse to a fraction of the ops, shrinking the jitted step graph
+        nodq = {s: 0 for s in (dqx0, dqx1, dqx2, dqy0, dqy1, dqy2)}
+        for tag, exprs in (("bottom", bots), ("top", tops), ("avg", avgs)):
+            small = [sp.cancel(e.subs(nodq)) for e in exprs]
+            emit_function(f"_tau_{tag}_{mode}_nodq", small,
+                          NODQ_ARGS, chunks)
 
     src = "\n\n\n".join(chunks) + "\n"
     outfile = sys.argv[1] if len(sys.argv) > 1 else \

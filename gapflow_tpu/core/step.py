@@ -18,8 +18,8 @@ averaging, ghost-cell boundary handling at problem.py:676-768 with the
 a1 = 0.5 midpoint ghost formula).
 """
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -183,6 +183,7 @@ def det_closures(cfg, q, topo, extra):
 # MacCormack passes
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=64)
 def make_pass_fn(cfg):
     """One MacCormack pass with externally supplied closure fields.
 
@@ -209,8 +210,12 @@ def v_max(q):
     return jnp.sqrt((q[1] ** 2 + q[2] ** 2) / q[0]).max()
 
 
+@lru_cache(maxsize=64)
 def make_det_step(cfg, with_aux=True):
     """The full deterministic timestep as one fused XLA program.
+
+    Cached per config so every Problem with the same physics reuses one
+    compiled executable (jax caches compilations by function identity).
 
     ``det_step(state) -> (state, aux)`` where aux holds the last-pass
     closure fields (pressure, wall/bulk stresses) for I/O and the elastic
@@ -283,6 +288,26 @@ def make_det_step(cfg, with_aux=True):
     return jax.jit(det_step)
 
 
+@lru_cache(maxsize=64)
+def make_trajectory(cfg, n):
+    """Scan ``n`` deterministic steps, stacking (q, simtime) after each.
+
+    The whole trajectory runs on-device in one XLA program; used by the
+    verification tests that compare every step against analytic solutions.
+    """
+    det_step = make_det_step(cfg, with_aux=False)
+
+    def run(state):
+        def body(s, _):
+            s = det_step(s)
+            return s, (s.q, s.simtime)
+
+        return lax.scan(body, state, None, length=n)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
 def make_run_loop(cfg, tol, max_it):
     """Fast path: iterate deterministic steps until convergence or max_it.
 

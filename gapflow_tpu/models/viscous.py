@@ -23,12 +23,15 @@ __all__ = ["stress_bottom", "stress_top", "stress_avg"]
 
 
 def _unpack(q, h, dqx, dqy):
+    if dqx is None and dqy is None:
+        # hot path: no state gradients -> use the specialized closures
+        return (q[0], q[1], q[2], h[0], h[1], h[2]), True
     if dqx is None:
         dqx = jnp.zeros_like(jnp.asarray(q))
     if dqy is None:
         dqy = jnp.zeros_like(jnp.asarray(q))
     return (q[0], q[1], q[2], h[0], h[1], h[2],
-            dqx[0], dqx[1], dqx[2], dqy[0], dqy[1], dqy[2])
+            dqx[0], dqx[1], dqx[2], dqy[0], dqy[1], dqy[2]), False
 
 
 def _normalize_ls(Ls, q):
@@ -46,15 +49,20 @@ def _stack6(parts, like):
                       for p in parts])
 
 
-def _dispatch(table, slip):
+def _dispatch(table, slip, nodq):
     # Reference-compatible: 'top' is special-cased, everything else takes the
     # slip-both expressions (identical to no-slip when Ls == 0).
-    return table["top"] if slip == "top" else table["both"]
+    mode = "top" if slip == "top" else "both"
+    return table[mode + "_nodq" if nodq else mode]
 
 
-_BOTTOM = {m: getattr(_C, f"_tau_bottom_{m}") for m in ("none", "top", "bottom", "both")}
-_TOP = {m: getattr(_C, f"_tau_top_{m}") for m in ("none", "top", "bottom", "both")}
-_AVG = {m: getattr(_C, f"_tau_avg_{m}") for m in ("none", "top", "bottom", "both")}
+_MODES = ("none", "top", "bottom", "both")
+_BOTTOM = {m + s: getattr(_C, f"_tau_bottom_{m}{s and '_nodq'}")
+           for m in _MODES for s in ("", "_nodq")}
+_TOP = {m + s: getattr(_C, f"_tau_top_{m}{s and '_nodq'}")
+        for m in _MODES for s in ("", "_nodq")}
+_AVG = {m + s: getattr(_C, f"_tau_avg_{m}{s and '_nodq'}")
+        for m in _MODES for s in ("", "_nodq")}
 
 
 def stress_bottom(q, h, U, V, eta, zeta, Ls, dqx=None, dqy=None, slip="top"):
@@ -65,16 +73,18 @@ def stress_bottom(q, h, U, V, eta, zeta, Ls, dqx=None, dqy=None, slip="top"):
     length (scalar or field).  Returns shape (6, ...).
     """
     Ls = _normalize_ls(Ls, q)
-    fn = _dispatch(_BOTTOM, slip)
-    parts = fn(*_unpack(q, h, dqx, dqy), U, V, eta, zeta, Ls)
+    args, nodq = _unpack(q, h, dqx, dqy)
+    fn = _dispatch(_BOTTOM, slip, nodq)
+    parts = fn(*args, U, V, eta, zeta, Ls)
     return _stack6(parts, q[0] + h[0] + Ls * 0)
 
 
 def stress_top(q, h, U, V, eta, zeta, Ls, dqx=None, dqy=None, slip="top"):
     """Viscous stress tensor at the top wall, Voigt order (xx,yy,zz,yz,xz,xy)."""
     Ls = _normalize_ls(Ls, q)
-    fn = _dispatch(_TOP, slip)
-    parts = fn(*_unpack(q, h, dqx, dqy), U, V, eta, zeta, Ls)
+    args, nodq = _unpack(q, h, dqx, dqy)
+    fn = _dispatch(_TOP, slip, nodq)
+    parts = fn(*args, U, V, eta, zeta, Ls)
     return _stack6(parts, q[0] + h[0] + Ls * 0)
 
 
@@ -88,6 +98,6 @@ def stress_avg(q, h, U, V, eta, zeta, Ls, dqx=None, dqy=None, slip="top"):
     like = q[0] + h[0] + Ls * 0
     if slip not in ("top", "both"):
         return jnp.zeros((3,) + jnp.shape(like), dtype=jnp.result_type(like))
-    fn = _AVG[slip]
-    t = fn(*_unpack(q, h, dqx, dqy), U, V, eta, zeta, Ls)
+    args, nodq = _unpack(q, h, dqx, dqy)
+    t = _AVG[slip + ("_nodq" if nodq else "")](*args, U, V, eta, zeta, Ls)
     return _stack6((t[0], t[1], t[5]), like)

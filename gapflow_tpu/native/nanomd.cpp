@@ -1,0 +1,992 @@
+// nanomd: a minimal molecular-dynamics engine for confined Lennard-Jones
+// fluids between solid walls.
+//
+// Purpose-built native oracle for the gapflow-tpu multiscale loop,
+// replacing the vendored LAMMPS build of the reference
+// (reference CMakeLists.txt:11-30, GaPFlow/md/runner.py:68-74) for the
+// feature subset the framework exercises (examples/lmp/lj/in.lmp):
+//
+//   - LJ pair potential, shifted at cutoff, per-type-pair mixing
+//   - wall slabs read from a LAMMPS-style 'atomic' data file, frozen
+//     outer layers, Langevin-thermostatted inner layers
+//   - fluid created at a target density inside the gap
+//   - Gaussian-dynamics flux control (LAMMPS fix flow/gauss equivalent):
+//     the net force on the fluid group is zeroed each step so the center-
+//     of-mass flux set at initialization is an invariant of the motion
+//   - staged runs (limited equilibration -> thermalization -> sampling)
+//   - wall pressure/shear sampling with ave/time semantics, written to
+//     stress_wall.dat in the reference column layout
+//
+// Interface: a C API (nanomd_create/command/file/...) driven through
+// ctypes, with a LAMMPS-ish text deck (variable/include/run_all).
+//
+// Implementation: cell-list neighbor search with Verlet skin, velocity
+// Verlet integration, xorshift RNG, OpenMP-parallel force loop.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <random>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace nanomd {
+
+static const char* VERSION = "nanomd 1.0 (gapflow-tpu native MD engine)";
+
+struct Vec3 {
+    double x = 0, y = 0, z = 0;
+};
+
+enum Group : uint8_t {
+    FLUID = 0,
+    WALL_LO_FROZEN = 1,
+    WALL_LO_THERM = 2,
+    WALL_HI_FROZEN = 3,
+    WALL_HI_THERM = 4,
+    WALL_LO_CORE = 5,
+    WALL_HI_CORE = 6,
+};
+
+static inline bool is_lower_wall(uint8_t g) {
+    return g == WALL_LO_FROZEN || g == WALL_LO_THERM || g == WALL_LO_CORE;
+}
+static inline bool is_upper_wall(uint8_t g) {
+    return g == WALL_HI_FROZEN || g == WALL_HI_THERM || g == WALL_HI_CORE;
+}
+static inline bool is_frozen(uint8_t g) {
+    return g == WALL_LO_FROZEN || g == WALL_HI_FROZEN;
+}
+
+class Engine {
+public:
+    explicit Engine(int nthreads) : nthreads_(nthreads), rng_(9377) {
+#ifdef _OPENMP
+        if (nthreads_ > 0) omp_set_num_threads(nthreads_);
+#endif
+        set_defaults();
+    }
+
+    // ------------------------------------------------------------------
+    // Deck interpreter
+    // ------------------------------------------------------------------
+
+    int run_file(const std::string& path) {
+        std::ifstream in(path);
+        if (!in) {
+            error_ = "cannot open deck: " + path;
+            return 1;
+        }
+        std::string line;
+        while (std::getline(in, line)) {
+            if (int rc = command(line)) return rc;
+        }
+        return 0;
+    }
+
+    int command(const std::string& raw) {
+        std::string line = strip_comment(raw);
+        std::istringstream ss(line);
+        std::string word;
+        if (!(ss >> word)) return 0;
+
+        try {
+            if (word == "variable") {
+                std::string name, kw, rest;
+                ss >> name >> kw;  // 'equal' or 'index'
+                std::getline(ss, rest);
+                if (kw == "index") {
+                    strings_[name] = trim(rest);
+                } else {
+                    vars_[name] = eval(trim(rest));
+                }
+            } else if (word == "include") {
+                std::string f;
+                ss >> f;
+                return run_file(f);
+            } else if (word == "log") {
+                ss >> logfile_;
+            } else if (word == "units" || word == "dimension" ||
+                       word == "boundary" || word == "pair_style" ||
+                       word == "pair_modify" || word == "thermo" ||
+                       word == "thermo_style" || word == "thermo_modify" ||
+                       word == "processors" || word == "neigh_modify") {
+                // accepted for deck compatibility; configuration comes from
+                // variables + the workload builder
+            } else if (word == "workload") {
+                std::string kind;
+                ss >> kind;
+                if (kind != "confined_lj") {
+                    error_ = "unknown workload: " + kind;
+                    return 1;
+                }
+                build_confined_lj();
+            } else if (word == "run_all") {
+                run_all();
+            } else if (word == "run") {
+                std::string n;
+                ss >> n;
+                integrate((long)eval(n), /*limit=*/-1., /*berendsen=*/false,
+                          /*sample=*/false);
+            } else if (word == "print") {
+                std::string rest;
+                std::getline(ss, rest);
+                logmsg(trim(rest));
+            } else {
+                // unknown commands are ignored (deck compatibility)
+            }
+        } catch (const std::exception& e) {
+            error_ = e.what();
+            return 1;
+        }
+        return 0;
+    }
+
+    const char* last_error() const { return error_.c_str(); }
+
+    // ------------------------------------------------------------------
+    // System construction
+    // ------------------------------------------------------------------
+
+    void build_confined_lj() {
+        cutoff_ = getvar("cutoff", 2.5);
+        temp_ = getvar("temp", 1.0);
+        dt_ = getvar("dt", 0.005);
+
+        const double gap = getvar("input_gap", 20.);
+        const double dens = getvar("input_dens", 0.8);
+
+        // wall LJ parameters (defaults: gold-argon, reduced; cf. the
+        // reference LJ deck's sigAu/epsAu derivation)
+        const double mAr = 39.948, sigAr = 3.4, epsAr = 0.238;
+        const double mAu = 196.97, epsAu = 5.29;
+        const double sigAu = 2.951 * std::pow(2., -1. / 6.);
+        const double mW = getvar("mW", mAu / mAr);
+        sigWW_ = getvar("sigWW", sigAu / sigAr);
+        epsWW_ = getvar("epsWW", epsAu / epsAr);
+        sigFW_ = getvar("sigFW", (1. + sigWW_) / 2.);
+        epsFW_ = getvar("epsFW", std::sqrt(epsWW_));
+
+        // read lower wall
+        std::string wallfile = getstr("slabfile", "in.wall");
+        std::vector<Vec3> wall;
+        double wall_lx, wall_ly, wzlo, wzhi;
+        read_data_file(wallfile, wall, wall_lx, wall_ly, wzlo, wzhi);
+        const double thickness = wzhi - wzlo;
+
+        Lx_ = wall_lx;
+        Ly_ = wall_ly;
+        const double z_top_base = thickness + gap + sigFW_;
+        Lz_ = z_top_base + thickness + 1.0;
+
+        // classify wall layers: frozen outermost, thermalized middle band
+        const double layer = 1.2 / std::sqrt(3.0);
+        const double thermal = (thickness - layer) / 2.;
+
+        x_.clear(); v_.clear(); f_.clear(); group_.clear();
+        mass_.clear(); type_.clear();
+
+        auto add_wall_atom = [&](const Vec3& p, bool upper) {
+            Vec3 q = p;
+            q.z -= wzlo;
+            double zl = q.z;  // height within the slab
+            if (upper) q.z = z_top_base + q.z;
+            uint8_t g;
+            if (!upper) {
+                if (zl < layer) g = WALL_LO_FROZEN;
+                else if (zl < layer + thermal) g = WALL_LO_THERM;
+                else g = WALL_LO_CORE;
+            } else {
+                // mirror: frozen at the outermost (top) layer
+                if (zl > thickness - layer) g = WALL_HI_FROZEN;
+                else if (zl > thickness - layer - thermal) g = WALL_HI_THERM;
+                else g = WALL_HI_CORE;
+            }
+            x_.push_back(q);
+            v_.push_back({});
+            f_.push_back({});
+            group_.push_back(g);
+            mass_.push_back(mW);
+            type_.push_back(0);
+        };
+
+        for (const auto& p : wall) add_wall_atom(p, false);
+        for (const auto& p : wall) add_wall_atom(p, true);
+        n_wall_ = x_.size();
+
+        // fluid creation
+        const double Vfluid = (gap + sigFW_) * Lx_ * Ly_;
+        const long Nf = std::lround(dens * Vfluid);
+        const double zlo_f = thickness + sigFW_;
+        const double zhi_f = z_top_base - sigFW_;
+
+        // lattice insertion: fill the gap with a simple-cubic grid (plus a
+        // small jitter) so no initial pair overlaps -- avoids the force
+        // blow-up of random insertion and equilibrates quickly
+        {
+            const double hz = zhi_f - zlo_f;
+            long nx = std::max(1L, std::lround(std::cbrt((double)Nf * Lx_ * Lx_ / (Ly_ * hz))));
+            long ny = std::max(1L, std::lround((double)nx * Ly_ / Lx_));
+            long nz = (Nf + nx * ny - 1) / (nx * ny);
+            double ax = Lx_ / nx, ay = Ly_ / ny, az = hz / nz;
+            std::uniform_real_distribution<double> jit(-0.05, 0.05);
+            long placed = 0;
+            for (long k = 0; k < nz && placed < Nf; ++k)
+                for (long j = 0; j < ny && placed < Nf; ++j)
+                    for (long i = 0; i < nx && placed < Nf; ++i) {
+                        x_.push_back({(i + 0.5) * ax + jit(rng_),
+                                      (j + 0.5) * ay + jit(rng_),
+                                      zlo_f + (k + 0.5) * az});
+                        v_.push_back({});
+                        f_.push_back({});
+                        group_.push_back(FLUID);
+                        mass_.push_back(1.0);
+                        type_.push_back(1);
+                        ++placed;
+                    }
+        }
+        n_ = x_.size();
+        n_fluid_ = n_ - n_wall_;
+
+        // pair table (0=wall, 1=fluid)
+        set_pair(0, 0, epsWW_, sigWW_);
+        set_pair(1, 1, 1.0, 1.0);
+        set_pair(0, 1, epsFW_, sigFW_);
+
+        // Maxwell-Boltzmann fluid velocities at temp, zero net momentum
+        std::normal_distribution<double> nd(0., 1.);
+        Vec3 psum{};
+        double msum = 0.;
+        for (size_t i = n_wall_; i < n_; ++i) {
+            double s = std::sqrt(temp_ / mass_[i]);
+            v_[i] = {s * nd(rng_), s * nd(rng_), s * nd(rng_)};
+            psum.x += mass_[i] * v_[i].x;
+            psum.y += mass_[i] * v_[i].y;
+            psum.z += mass_[i] * v_[i].z;
+            msum += mass_[i];
+        }
+        for (size_t i = n_wall_; i < n_; ++i) {
+            v_[i].x -= psum.x / msum;
+            v_[i].y -= psum.y / msum;
+            v_[i].z -= psum.z / msum;
+        }
+
+        gap_ = gap;
+        fluid_mass_ = msum;
+        built_ = true;
+        neigh_valid_ = false;
+
+        logmsg("nanomd: built confined LJ system: " + std::to_string(n_) +
+               " atoms (" + std::to_string(n_fluid_) + " fluid), box " +
+               std::to_string(Lx_) + " x " + std::to_string(Ly_) + " x " +
+               std::to_string(Lz_));
+    }
+
+    // ------------------------------------------------------------------
+    // Staged execution
+    // ------------------------------------------------------------------
+
+    void status(const std::string& tag) {
+        double zmin = 1e30, zmax = -1e30, ke = 0.;
+        for (size_t i = n_wall_; i < n_; ++i) {
+            zmin = std::min(zmin, x_[i].z);
+            zmax = std::max(zmax, x_[i].z);
+            ke += 0.5 * mass_[i] *
+                  (v_[i].x * v_[i].x + v_[i].y * v_[i].y + v_[i].z * v_[i].z);
+        }
+        double t = n_fluid_ ? 2. * ke / (3. * n_fluid_) : 0.;
+        char buf[256];
+        snprintf(buf, sizeof buf,
+                 "%s: step=%ld T=%.3f fluid z=[%.2f, %.2f] "
+                 "Fwall_lo=(%.3g, %.3g, %.3g)",
+                 tag.c_str(), step_, t, zmin, zmax, wall_force_lo_.x,
+                 wall_force_lo_.y, wall_force_lo_.z);
+        logmsg(buf);
+    }
+
+    void run_all() {
+        if (!built_) build_confined_lj();
+
+        const long tinit = (long)getvar("tinit", 5000);
+        const long ttherm = (long)getvar("ttherm", 5000);
+        const long tsample = (long)getvar("tsample", 20000);
+
+        // stage 1: limited-displacement equilibration with Berendsen
+        status("pre-equil");
+        integrate(tinit, /*limit=*/0.1, /*berendsen=*/true, /*sample=*/false);
+        status("post-equil");
+
+        // stage 2: impose wall sliding + fluid COM flux, thermalize
+        const double vwall = getvar("vWall", 0.);
+        for (size_t i = 0; i < n_wall_; ++i)
+            if (group_[i] == WALL_LO_FROZEN) v_[i] = {vwall, 0., 0.};
+
+        const double fluxX = getvar("input_fluxX", 0.);
+        const double fluxY = getvar("input_fluxY", 0.);
+        const double uCOM = fluxX * (Lx_ * Ly_ * gap_) / fluid_mass_;
+        const double vCOM = fluxY * (Lx_ * Ly_ * gap_) / fluid_mass_;
+
+        Vec3 mean{};
+        for (size_t i = n_wall_; i < n_; ++i) {
+            mean.x += v_[i].x;
+            mean.y += v_[i].y;
+        }
+        mean.x /= n_fluid_;
+        mean.y /= n_fluid_;
+        for (size_t i = n_wall_; i < n_; ++i) {
+            v_[i].x += uCOM - mean.x;
+            v_[i].y += vCOM - mean.y;
+        }
+
+        flux_control_ = true;
+        integrate(ttherm, -1., false, false);
+        status("post-therm");
+
+        // stage 3: sampling
+        step_ = 0;
+        open_sample_file();
+        integrate(tsample, -1., false, true);
+        status("post-sample");
+        close_sample_file();
+    }
+
+    // ------------------------------------------------------------------
+    // Introspection (lammps-shim surface)
+    // ------------------------------------------------------------------
+
+    static bool has_package(const std::string& p) {
+        // genuinely implemented capability groups
+        return p == "LJ" || p == "EXTRA-FIX" || p == "WALLS";
+    }
+
+private:
+    // -- deck helpers -------------------------------------------------------
+    static std::string strip_comment(const std::string& s) {
+        auto pos = s.find('#');
+        return pos == std::string::npos ? s : s.substr(0, pos);
+    }
+
+    static std::string trim(const std::string& s) {
+        size_t a = s.find_first_not_of(" \t\r\n");
+        if (a == std::string::npos) return "";
+        size_t b = s.find_last_not_of(" \t\r\n");
+        return s.substr(a, b - a + 1);
+    }
+
+    double getvar(const std::string& name, double dflt) const {
+        auto it = vars_.find(name);
+        return it == vars_.end() ? dflt : it->second;
+    }
+
+    std::string getstr(const std::string& name, const std::string& dflt) const {
+        auto it = strings_.find(name);
+        return it == strings_.end() ? dflt : it->second;
+    }
+
+    // Tiny expression evaluator: numbers, ${name}, v_name, + - * / ( ) ^
+    double eval(const std::string& expr) const {
+        std::string s = substitute(expr);
+        size_t pos = 0;
+        double val = parse_sum(s, pos);
+        return val;
+    }
+
+    std::string substitute(const std::string& in) const {
+        std::string out;
+        for (size_t i = 0; i < in.size();) {
+            if (in[i] == '$' && i + 1 < in.size() && in[i + 1] == '{') {
+                size_t e = in.find('}', i);
+                std::string name = in.substr(i + 2, e - i - 2);
+                out += std::to_string(getvar(name, 0.));
+                i = e + 1;
+            } else if (in.compare(i, 2, "v_") == 0) {
+                size_t e = i + 2;
+                while (e < in.size() && (isalnum(in[e]) || in[e] == '_')) ++e;
+                out += std::to_string(getvar(in.substr(i + 2, e - i - 2), 0.));
+                i = e;
+            } else {
+                out += in[i++];
+            }
+        }
+        return out;
+    }
+
+    static void skip_ws(const std::string& s, size_t& p) {
+        while (p < s.size() && isspace((unsigned char)s[p])) ++p;
+    }
+
+    static double parse_sum(const std::string& s, size_t& p) {
+        double v = parse_prod(s, p);
+        for (;;) {
+            skip_ws(s, p);
+            if (p < s.size() && (s[p] == '+' || s[p] == '-')) {
+                char op = s[p++];
+                double r = parse_prod(s, p);
+                v = op == '+' ? v + r : v - r;
+            } else {
+                return v;
+            }
+        }
+    }
+
+    static double parse_prod(const std::string& s, size_t& p) {
+        double v = parse_pow(s, p);
+        for (;;) {
+            skip_ws(s, p);
+            if (p < s.size() && (s[p] == '*' || s[p] == '/')) {
+                char op = s[p++];
+                double r = parse_pow(s, p);
+                v = op == '*' ? v * r : v / r;
+            } else {
+                return v;
+            }
+        }
+    }
+
+    static double parse_pow(const std::string& s, size_t& p) {
+        double v = parse_atom(s, p);
+        skip_ws(s, p);
+        if (p < s.size() && s[p] == '^') {
+            ++p;
+            double e = parse_pow(s, p);
+            return std::pow(v, e);
+        }
+        return v;
+    }
+
+    static double parse_atom(const std::string& s, size_t& p) {
+        skip_ws(s, p);
+        if (p < s.size() && s[p] == '(') {
+            ++p;
+            double v = parse_sum(s, p);
+            skip_ws(s, p);
+            if (p < s.size() && s[p] == ')') ++p;
+            return v;
+        }
+        if (p < s.size() && (s[p] == '-' || s[p] == '+')) {
+            char sign = s[p++];
+            double v = parse_atom(s, p);
+            return sign == '-' ? -v : v;
+        }
+        // sqrt( handled as function
+        if (s.compare(p, 5, "sqrt(") == 0) {
+            p += 5;
+            double v = parse_sum(s, p);
+            if (p < s.size() && s[p] == ')') ++p;
+            return std::sqrt(v);
+        }
+        size_t e = p;
+        while (e < s.size() && (isdigit((unsigned char)s[e]) || s[e] == '.' ||
+                                s[e] == 'e' || s[e] == 'E' ||
+                                ((s[e] == '-' || s[e] == '+') && e > p &&
+                                 (s[e - 1] == 'e' || s[e - 1] == 'E'))))
+            ++e;
+        double v = std::stod(s.substr(p, e - p));
+        p = e;
+        return v;
+    }
+
+    // -- data file reader ---------------------------------------------------
+    void read_data_file(const std::string& path, std::vector<Vec3>& atoms,
+                        double& lx, double& ly, double& zlo, double& zhi) {
+        std::ifstream in(path);
+        if (!in) throw std::runtime_error("cannot open wall file: " + path);
+
+        std::string line;
+        long natoms = 0;
+        double xlo = 0, xhi = 0, ylo = 0, yhi = 0;
+        zlo = 0;
+        zhi = 0;
+        bool in_atoms = false;
+
+        while (std::getline(in, line)) {
+            std::string t = trim(strip_comment(line));
+            if (t.empty()) continue;
+            std::istringstream ss(t);
+
+            if (t.find("atoms") != std::string::npos &&
+                t.find("types") == std::string::npos) {
+                ss >> natoms;
+            } else if (t.find("xlo xhi") != std::string::npos) {
+                ss >> xlo >> xhi;
+            } else if (t.find("ylo yhi") != std::string::npos) {
+                ss >> ylo >> yhi;
+            } else if (t.find("zlo zhi") != std::string::npos) {
+                ss >> zlo >> zhi;
+            } else if (t.rfind("Atoms", 0) == 0) {
+                in_atoms = true;
+            } else if (in_atoms) {
+                long id, type;
+                double px, py, pz;
+                if (ss >> id >> type >> px >> py >> pz)
+                    atoms.push_back({px, py, pz});
+                if ((long)atoms.size() == natoms) in_atoms = false;
+            }
+        }
+        lx = xhi - xlo;
+        ly = yhi - ylo;
+
+        // actual slab extent
+        if (!atoms.empty()) {
+            zlo = atoms[0].z;
+            zhi = atoms[0].z;
+            for (const auto& a : atoms) {
+                zlo = std::min(zlo, a.z);
+                zhi = std::max(zhi, a.z);
+            }
+        }
+    }
+
+    // -- pair interactions --------------------------------------------------
+    void set_pair(int ti, int tj, double eps, double sig) {
+        double s6 = std::pow(sig, 6);
+        double c2 = cutoff_ * cutoff_ * sig * sig / (sigWW_ * 0 + 1.);
+        // cutoff in units of sigma? reference uses global cutoff 2.5 (in
+        // fluid sigma units) for all pairs
+        (void)c2;
+        double rc = cutoff_;
+        double rc6 = std::pow(rc, 6);
+        double shift = 4. * eps * (s6 * s6 / (rc6 * rc6) - s6 / rc6);
+        pair_[ti][tj] = pair_[tj][ti] = {4. * eps * s6 * s6, 4. * eps * s6,
+                                         rc * rc, shift};
+    }
+
+    struct PairCoeff {
+        double c12 = 0, c6 = 0, rc2 = 0, shift = 0;
+    };
+
+    // -- neighbor lists -----------------------------------------------------
+    void build_cells() {
+        const double skin = 0.3;
+        bin_ = cutoff_ + skin;
+        nbx_ = std::max(1, (int)(Lx_ / bin_));
+        nby_ = std::max(1, (int)(Ly_ / bin_));
+        nbz_ = std::max(1, (int)(Lz_ / bin_));
+        bx_ = Lx_ / nbx_;
+        by_ = Ly_ / nby_;
+        bz_ = Lz_ / nbz_;
+
+        cell_of_.assign(n_, 0);
+        head_.assign((size_t)nbx_ * nby_ * nbz_, -1);
+        next_.assign(n_, -1);
+
+        for (size_t i = 0; i < n_; ++i) {
+            int cx = (int)(pbcx(x_[i].x) / bx_) % nbx_;
+            int cy = (int)(pbcy(x_[i].y) / by_) % nby_;
+            int cz = std::min((int)(x_[i].z / bz_), nbz_ - 1);
+            if (cz < 0) cz = 0;
+            int c = (cz * nby_ + cy) * nbx_ + cx;
+            cell_of_[i] = c;
+            next_[i] = head_[c];
+            head_[c] = (long)i;
+        }
+
+        x_ref_ = x_;
+        neigh_valid_ = true;
+    }
+
+    bool need_rebuild() const {
+        if (!neigh_valid_) return true;
+        const double lim = 0.15 * 0.15;  // (skin/2)^2
+        for (size_t i = 0; i < n_; ++i) {
+            double dx = x_[i].x - x_ref_[i].x;
+            double dy = x_[i].y - x_ref_[i].y;
+            double dz = x_[i].z - x_ref_[i].z;
+            if (dx * dx + dy * dy + dz * dz > lim) return true;
+        }
+        return false;
+    }
+
+    inline double pbcx(double v) const {
+        v = std::fmod(v, Lx_);
+        return v < 0 ? v + Lx_ : v;
+    }
+    inline double pbcy(double v) const {
+        v = std::fmod(v, Ly_);
+        return v < 0 ? v + Ly_ : v;
+    }
+    inline double mix(double d, double L) const {
+        if (d > 0.5 * L) return d - L;
+        if (d < -0.5 * L) return d + L;
+        return d;
+    }
+
+    // -- force computation --------------------------------------------------
+    void compute_forces() {
+        if (need_rebuild()) build_cells();
+
+        for (size_t i = 0; i < n_; ++i) f_[i] = {};
+        wall_force_lo_ = {};
+        wall_force_hi_ = {};
+
+        const int ncell = nbx_ * nby_ * nbz_;
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            Vec3 wlo{}, whi{};
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+            for (int c = 0; c < ncell; ++c) {
+                int cz = c / (nbx_ * nby_);
+                int cy = (c / nbx_) % nby_;
+                int cx = c % nbx_;
+
+                // unique neighbor cells (guards against double-visiting
+                // when an axis has fewer than 3 cells and the periodic
+                // wrap folds offsets onto the same cell)
+                int ncells_nb = 0;
+                int nb_cells[27];
+                for (int dz = -1; dz <= 1; ++dz) {
+                    int zz = cz + dz;
+                    if (zz < 0 || zz >= nbz_) continue;
+                    for (int dy = -1; dy <= 1; ++dy) {
+                        int yy = (cy + dy + nby_) % nby_;
+                        for (int dx = -1; dx <= 1; ++dx) {
+                            int xx = (cx + dx + nbx_) % nbx_;
+                            int cc = (zz * nby_ + yy) * nbx_ + xx;
+                            bool seen = false;
+                            for (int k = 0; k < ncells_nb; ++k)
+                                if (nb_cells[k] == cc) { seen = true; break; }
+                            if (!seen) nb_cells[ncells_nb++] = cc;
+                        }
+                    }
+                }
+
+                for (long i = head_[c]; i >= 0; i = next_[i]) {
+                    const uint8_t gi = group_[i];
+                    const bool i_wall = gi != FLUID;
+                    Vec3 fi{};
+
+                    for (int k = 0; k < ncells_nb; ++k) {
+                        {
+                            {
+                                int cc = nb_cells[k];
+
+                                for (long j = head_[cc]; j >= 0; j = next_[j]) {
+                                    if (j == i) continue;
+                                    const uint8_t gj = group_[j];
+                                    // skip wall-wall interactions between
+                                    // atoms of the same rigid wall and
+                                    // frozen-frozen pairs (excluded in the
+                                    // reference deck)
+                                    if (i_wall && gj != FLUID) {
+                                        bool same_side =
+                                            is_lower_wall(gi) == is_lower_wall(gj);
+                                        if (same_side &&
+                                            (is_frozen(gi) && is_frozen(gj)))
+                                            continue;
+                                    }
+
+                                    double ddx = mix(x_[i].x - x_[j].x, Lx_);
+                                    double ddy = mix(x_[i].y - x_[j].y, Ly_);
+                                    double ddz = x_[i].z - x_[j].z;
+                                    double r2 = ddx * ddx + ddy * ddy + ddz * ddz;
+
+                                    const PairCoeff& pc =
+                                        pair_[type_[i]][type_[j]];
+                                    if (r2 >= pc.rc2 || r2 < 1e-12) continue;
+
+                                    double inv2 = 1. / r2;
+                                    double inv6 = inv2 * inv2 * inv2;
+                                    // F = (12 c12 r^-13 - 6 c6 r^-7) r_hat
+                                    double fpair =
+                                        (12. * pc.c12 * inv6 - 6. * pc.c6) *
+                                        inv6 * inv2;
+
+                                    fi.x += fpair * ddx;
+                                    fi.y += fpair * ddy;
+                                    fi.z += fpair * ddz;
+
+                                    // wall force bookkeeping: force exerted
+                                    // by the fluid on each wall
+                                    if (i_wall && gj == FLUID) {
+                                        if (is_lower_wall(gi)) {
+                                            wlo.x += fpair * ddx;
+                                            wlo.y += fpair * ddy;
+                                            wlo.z += fpair * ddz;
+                                        } else {
+                                            whi.x += fpair * ddx;
+                                            whi.y += fpair * ddy;
+                                            whi.z += fpair * ddz;
+                                        }
+                                    }
+                                }
+                            }
+                        }
+                    }
+                    f_[i].x += fi.x;
+                    f_[i].y += fi.y;
+                    f_[i].z += fi.z;
+                }
+            }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+            {
+                wall_force_lo_.x += wlo.x;
+                wall_force_lo_.y += wlo.y;
+                wall_force_lo_.z += wlo.z;
+                wall_force_hi_.x += whi.x;
+                wall_force_hi_.y += whi.y;
+                wall_force_hi_.z += whi.z;
+            }
+        }
+
+        // Gaussian flux control: zero the net lateral force on the fluid
+        // (keeps the COM momentum imposed at stage 2 exactly constant)
+        if (flux_control_) {
+            Vec3 fsum{};
+            for (size_t i = n_wall_; i < n_; ++i) {
+                fsum.x += f_[i].x;
+                fsum.y += f_[i].y;
+            }
+            fsum.x /= n_fluid_;
+            fsum.y /= n_fluid_;
+            for (size_t i = n_wall_; i < n_; ++i) {
+                f_[i].x -= fsum.x;
+                f_[i].y -= fsum.y;
+            }
+        }
+    }
+
+    // -- thermostats --------------------------------------------------------
+    void langevin_walls() {
+        // Langevin on the thermal wall layers, gamma = 1/(100 dt), with the
+        // wall COM drift excluded from thermostatting
+        const double gamma = 1. / (100. * dt_);
+        std::normal_distribution<double> nd(0., 1.);
+        for (size_t i = 0; i < n_wall_; ++i) {
+            uint8_t g = group_[i];
+            if (is_frozen(g)) continue;  // all mobile wall atoms thermostatted
+            double m = mass_[i];
+            double sigma = std::sqrt(2. * m * gamma * temp_ / dt_);
+            double vx = v_[i].x - (is_lower_wall(g) ? wall_drift_lo_ : 0.);
+            f_[i].x += -m * gamma * vx + sigma * nd(rng_);
+            f_[i].y += -m * gamma * v_[i].y + sigma * nd(rng_);
+            f_[i].z += -m * gamma * v_[i].z + sigma * nd(rng_);
+        }
+    }
+
+    void berendsen_fluid(double tau) {
+        // equilibration thermostat: Berendsen drift toward the target with a
+        // hard isokinetic clamp when far off (robust against bad starts)
+        double ke = 0.;
+        for (size_t i = n_wall_; i < n_; ++i)
+            ke += 0.5 * mass_[i] *
+                  (v_[i].x * v_[i].x + v_[i].y * v_[i].y + v_[i].z * v_[i].z);
+        double tcur = 2. * ke / (3. * n_fluid_);
+        if (tcur < 1e-12) return;
+        double lam;
+        if (tcur > 4. * temp_ || tcur < 0.25 * temp_)
+            lam = std::sqrt(temp_ / tcur);
+        else
+            lam = std::sqrt(std::max(0.1, 1. + dt_ / tau * (temp_ / tcur - 1.)));
+        for (size_t i = n_wall_; i < n_; ++i) {
+            v_[i].x *= lam;
+            v_[i].y *= lam;
+            v_[i].z *= lam;
+        }
+    }
+
+    // -- integration --------------------------------------------------------
+    void integrate(long nsteps, double limit, bool berendsen, bool sample) {
+        if (!built_) throw std::runtime_error("system not built");
+        compute_forces();
+
+        const long Nevery = (long)getvar("Nevery", 10);
+        const long Nrepeat = (long)getvar("Nrepeat", 1);
+        const long Nfreq = Nevery * Nrepeat;
+
+        const double area = Lx_ * Ly_;
+
+        for (long s = 0; s < nsteps; ++s) {
+            // velocity Verlet, half kick + drift
+            for (size_t i = 0; i < n_; ++i) {
+                if (is_frozen(group_[i])) {
+                    // frozen atoms move rigidly with their set velocity
+                    x_[i].x += dt_ * v_[i].x;
+                    continue;
+                }
+                double hdtm = 0.5 * dt_ / mass_[i];
+                v_[i].x += hdtm * f_[i].x;
+                v_[i].y += hdtm * f_[i].y;
+                v_[i].z += hdtm * f_[i].z;
+
+                double ddx = dt_ * v_[i].x, ddy = dt_ * v_[i].y,
+                       ddz = dt_ * v_[i].z;
+                if (limit > 0.) {
+                    double d = std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz);
+                    if (d > limit) {
+                        double sc = limit / d;
+                        ddx *= sc;
+                        ddy *= sc;
+                        ddz *= sc;
+                        v_[i].x *= sc;
+                        v_[i].y *= sc;
+                        v_[i].z *= sc;
+                    }
+                }
+                x_[i].x += ddx;
+                x_[i].y += ddy;
+                x_[i].z += ddz;
+            }
+
+            // reflecting z boundaries (safety net: hot atoms cannot leave
+            // the simulation box through the finite-thickness walls)
+            for (size_t i = n_wall_; i < n_; ++i) {
+                if (x_[i].z < 0.) {
+                    x_[i].z = -x_[i].z;
+                    v_[i].z = -v_[i].z;
+                } else if (x_[i].z > Lz_) {
+                    x_[i].z = 2. * Lz_ - x_[i].z;
+                    v_[i].z = -v_[i].z;
+                }
+            }
+
+            compute_forces();
+            langevin_walls();
+
+            // second half kick
+            for (size_t i = 0; i < n_; ++i) {
+                if (is_frozen(group_[i])) continue;
+                double hdtm = 0.5 * dt_ / mass_[i];
+                v_[i].x += hdtm * f_[i].x;
+                v_[i].y += hdtm * f_[i].y;
+                v_[i].z += hdtm * f_[i].z;
+            }
+
+            if (berendsen) berendsen_fluid(500. * dt_);
+
+            ++step_;
+
+            if (sample && step_ % Nevery == 0) {
+                // force exerted BY the fluid ON the walls is the negative of
+                // the accumulated wall<-fluid force... bookkeeping above
+                // accumulates force on wall atoms from fluid: F_wall.
+                acc_pressL_ += -wall_force_lo_.z / area;   // compressive > 0
+                acc_tauxzL_ += wall_force_lo_.x / area;
+                acc_tauyzL_ += wall_force_lo_.y / area;
+                acc_pressU_ += wall_force_hi_.z / area;
+                acc_tauxzU_ += -wall_force_hi_.x / area;
+                acc_tauyzU_ += -wall_force_hi_.y / area;
+                ++acc_count_;
+
+                if (step_ % Nfreq == 0 && sample_file_.is_open()) {
+                    double inv = 1. / acc_count_;
+                    sample_file_ << step_ << " " << acc_pressL_ * inv << " "
+                                 << acc_tauxzL_ * inv << " "
+                                 << acc_pressU_ * inv << " "
+                                 << acc_tauxzU_ * inv << " "
+                                 << acc_tauyzL_ * inv << " "
+                                 << acc_tauyzU_ * inv << "\n";
+                    acc_pressL_ = acc_tauxzL_ = acc_tauyzL_ = 0.;
+                    acc_pressU_ = acc_tauxzU_ = acc_tauyzU_ = 0.;
+                    acc_count_ = 0;
+                }
+            }
+        }
+    }
+
+    void open_sample_file() {
+        sample_file_.open("stress_wall.dat");
+        sample_file_ << "# step pressL tauxzL pressU tauxzU tauyzL tauyzU\n";
+        acc_pressL_ = acc_tauxzL_ = acc_tauyzL_ = 0.;
+        acc_pressU_ = acc_tauxzU_ = acc_tauyzU_ = 0.;
+        acc_count_ = 0;
+    }
+
+    void close_sample_file() {
+        if (sample_file_.is_open()) sample_file_.close();
+    }
+
+    void logmsg(const std::string& msg) {
+        if (logfile_ == "none") return;
+        std::ofstream out(logfile_, std::ios::app);
+        out << msg << "\n";
+    }
+
+    void set_defaults() {
+        logfile_ = "log.nanomd";
+    }
+
+    // -- state --------------------------------------------------------------
+    int nthreads_;
+    std::mt19937_64 rng_;
+    std::map<std::string, double> vars_;
+    std::map<std::string, std::string> strings_;
+    std::string error_;
+    std::string logfile_;
+
+    bool built_ = false;
+    bool flux_control_ = false;
+    bool neigh_valid_ = false;
+
+    double Lx_ = 0, Ly_ = 0, Lz_ = 0, gap_ = 0;
+    double cutoff_ = 2.5, temp_ = 1.0, dt_ = 0.005;
+    double sigWW_ = 1., epsWW_ = 1., sigFW_ = 1., epsFW_ = 1.;
+    double fluid_mass_ = 0.;
+    double wall_drift_lo_ = 0.;
+
+    size_t n_ = 0, n_wall_ = 0, n_fluid_ = 0;
+    std::vector<Vec3> x_, v_, f_, x_ref_;
+    std::vector<double> mass_;
+    std::vector<uint8_t> group_;
+    std::vector<int> type_;
+
+    PairCoeff pair_[2][2];
+
+    double bin_ = 0, bx_ = 0, by_ = 0, bz_ = 0;
+    int nbx_ = 0, nby_ = 0, nbz_ = 0;
+    std::vector<long> head_, next_;
+    std::vector<int> cell_of_;
+
+    long step_ = 0;
+    Vec3 wall_force_lo_{}, wall_force_hi_{};
+    std::ofstream sample_file_;
+    double acc_pressL_ = 0, acc_tauxzL_ = 0, acc_tauyzL_ = 0;
+    double acc_pressU_ = 0, acc_tauxzU_ = 0, acc_tauyzU_ = 0;
+    long acc_count_ = 0;
+};
+
+}  // namespace nanomd
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* nanomd_create(int nthreads) { return new nanomd::Engine(nthreads); }
+
+void nanomd_destroy(void* h) { delete static_cast<nanomd::Engine*>(h); }
+
+int nanomd_command(void* h, const char* line) {
+    return static_cast<nanomd::Engine*>(h)->command(line);
+}
+
+int nanomd_file(void* h, const char* path) {
+    return static_cast<nanomd::Engine*>(h)->run_file(path);
+}
+
+const char* nanomd_version() { return nanomd::VERSION; }
+
+int nanomd_has_package(const char* name) {
+    return nanomd::Engine::has_package(name) ? 1 : 0;
+}
+
+const char* nanomd_last_error(void* h) {
+    return static_cast<nanomd::Engine*>(h)->last_error();
+}
+
+}  // extern "C"

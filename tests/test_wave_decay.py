@@ -83,11 +83,11 @@ def test_shear_wave_decay(setup, n):
     problem.q[2, 1:-1, :] = np.sin(kn * x)[:, None]
     problem.kinetic_energy_old = problem.kinetic_energy
 
-    for _ in range(200):
-        problem.update()
-        jy_ana = np.sin(kn * x) * np.exp(-2 * problem.simtime / tau)
-        jy_num = problem.q[2, 1:-1, 1]
-        np.testing.assert_almost_equal(jy_num, jy_ana, decimal=4)
+    # one fused on-device scan produces the whole trajectory
+    qs, times = problem.run_steps(200)
+    for q, t in zip(qs, times):
+        jy_ana = np.sin(kn * x) * np.exp(-2 * t / tau)
+        np.testing.assert_almost_equal(q[2, 1:-1, 1], jy_ana, decimal=4)
 
 
 @pytest.mark.parametrize("n", [1, 2, 3, 4])
@@ -109,17 +109,15 @@ def test_sound_wave_decay(setup, n):
 
     k_crit = 6. * kin_visc / (h ** 2 * cT)
 
-    for _ in range(400):
-        problem.update()
-
+    qs, times = problem.run_steps(400)
+    for q, t in zip(qs, times):
         if kn > k_crit:
             sT = np.sqrt(cT ** 2 - (1 / tau / kn) ** 2)
             jx_ana = np.sin(kn * x) * longitudinal_decay_underdamped(
-                problem.simtime, tau, sT * kn, 1 / (tau * sT * kn))
+                t, tau, sT * kn, 1 / (tau * sT * kn))
         else:
             isT = np.sqrt((1 / tau / kn) ** 2 - cT ** 2)
             jx_ana = np.sin(kn * x) * longitudinal_decay_overdamped(
-                problem.simtime, tau, isT * kn, 1 / (tau * isT * kn))
+                t, tau, isT * kn, 1 / (tau * isT * kn))
 
-        jx_num = problem.q[1, 1:-1, 1]
-        np.testing.assert_almost_equal(jx_num, jx_ana, decimal=3)
+        np.testing.assert_almost_equal(q[1, 1:-1, 1], jx_ana, decimal=3)
