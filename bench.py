@@ -61,20 +61,32 @@ properties:
 
     state = problem._make_state()
 
-    # fused single-step executable, iterated on-device via scan
-    runner = make_trajectory_steps(problem._solver_cfg, n_steps)
+    # fused Pallas stencil loop (falls back to the XLA step if unsupported)
+    from gapflow_tpu.ops import make_pallas_loop, pallas_supported
+    if pallas_supported(problem._solver_cfg, ny):
+        loop = make_pallas_loop(problem._solver_cfg, nx, ny)
 
-    # warmup & compile; materialize a scalar to be sure everything ran
-    out = runner(state)
-    float(out.q[0, 0, 0])
+        def run(q):
+            return loop(q, state.topo, state.extra, state.dt, n_steps)
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = runner(out)
-        out.q.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    float(out.q[0, 0, 0])
+        out = run(state.q)
+        float(out[0, 1, 1])     # materialize: compile + first run done
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(out)
+            float(out[0, 1, 1])  # D2H forces full completion
+            times.append(time.perf_counter() - t0)
+    else:
+        runner = make_trajectory_steps(problem._solver_cfg, n_steps)
+        out = runner(state)
+        float(out.q[0, 1, 1])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = runner(out)
+            float(out.q[0, 1, 1])
+            times.append(time.perf_counter() - t0)
 
     cell_updates = nx * ny * n_steps
     return cell_updates / float(np.median(times))

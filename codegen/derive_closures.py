@@ -237,6 +237,39 @@ def main():
             emit_function(f"_tau_{tag}_{mode}_nodq", small,
                           NODQ_ARGS, chunks)
 
+    # Fused solver-pass closure (hot kernel): only the quantities the
+    # MacCormack update consumes, CSE'd jointly:
+    #   bulk stresses (xx, yy, xy) entering the fluxes, and the three
+    #   geometric source terms (with wall stresses folded in).
+    # Mode 'top' (no-slip bottom / slip top), no state gradients -- the
+    # deterministic hot path.
+    print("fused solver pass (mode=top, nodq)", flush=True)
+    nodq = {s: 0 for s in (dqx0, dqx1, dqx2, dqy0, dqy1, dqy2)}
+
+    def spec(expr, at=None, average=False):
+        return finalize(expr, "top", at=at, average=average).subs(nodq)
+
+    tb_xx = spec(TAU["xx"], average=True)
+    tb_yy = spec(TAU["yy"], average=True)
+    tb_xy = spec(TAU["xy"], average=True)
+
+    su_xx = spec(TAU["xx"], at=h)
+    su_yy = spec(TAU["yy"], at=h)
+    su_yz = spec(TAU["yz"], at=h)
+    su_xz = spec(TAU["xz"], at=h)
+    su_xy = spec(TAU["xy"], at=h)
+
+    sl_yz = spec(TAU["yz"], at=sp.Integer(0))
+    sl_xz = spec(TAU["xz"], at=sp.Integer(0))
+
+    S0 = (-q1 * Hx - q2 * Hy) / H
+    S1 = ((tb_xx - su_xx) * Hx + (tb_xy - su_xy) * Hy + su_xz - sl_xz) / H
+    S2 = ((tb_xy - su_xy) * Hx + (tb_yy - su_yy) * Hy + su_yz - sl_yz) / H
+
+    emit_function("_fused_pass_top",
+                  [sp.cancel(e) for e in (tb_xx, tb_yy, tb_xy, S0, S1, S2)],
+                  NODQ_ARGS, chunks)
+
     src = "\n\n\n".join(chunks) + "\n"
     outfile = sys.argv[1] if len(sys.argv) > 1 else \
         "gapflow_tpu/models/_closures.py"

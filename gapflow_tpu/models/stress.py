@@ -103,7 +103,10 @@ class WallStress(GaussianProcessSurrogate):
 
     @property
     def Xtrain(self):
-        return self.database.Xtrain[:, self.active_dims]
+        # sliced to the last fit size: the shared database may have grown
+        # through the other surrogate's active learning since our fit
+        n = self.last_fit_train_size or self.database.size
+        return self.database.Xtrain[:n, self.active_dims]
 
     @property
     def _Ytrain(self):
@@ -276,7 +279,8 @@ class Pressure(GaussianProcessSurrogate):
 
     @property
     def Xtrain(self):
-        return self.database.Xtrain[:, self.active_dims]
+        n = self.last_fit_train_size or self.database.size
+        return self.database.Xtrain[:n, self.active_dims]
 
     @property
     def _Ytrain(self):
