@@ -610,6 +610,21 @@ class Problem:
             self.topofile.append_frame().write()
 
     # ------------------------------------------------------------------
+    # Checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path):
+        """Serialize the full solver state for exact resume."""
+        from .checkpoint import save_checkpoint
+        save_checkpoint(self, path)
+
+    @classmethod
+    def from_checkpoint(cls, path):
+        """Rebuild a Problem from a checkpoint and continue from its step."""
+        from .checkpoint import load_checkpoint
+        return load_checkpoint(path, problem_cls=cls)
+
+    # ------------------------------------------------------------------
     # Helpers
     # ------------------------------------------------------------------
 

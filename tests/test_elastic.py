@@ -1,0 +1,103 @@
+"""FFT elastic half-space kernels vs analytic solutions.
+
+- periodic: a cosine pressure p0 cos(qx) deforms the surface by
+  u = 2 p0 cos(qx) / (E* q)  (Westergaard / periodic Boussinesq)
+- free: point-ish load reciprocity and positivity; under-relaxation
+  converges to the fixed point
+"""
+
+import numpy as np
+import pytest
+
+from gapflow_tpu.elastic import (PeriodicHalfSpace, FreeHalfSpace,
+                                 ElasticDeformation)
+
+
+def test_periodic_cosine_analytic():
+    nx, ny = 128, 64
+    Lx, Ly = 2.0, 1.0
+    E = 13.7
+
+    hs = PeriodicHalfSpace((nx, ny), E, (Lx, Ly))
+
+    x = (np.arange(nx) + 0.5) * Lx / nx
+    k = 3
+    qwave = 2. * np.pi * k / Lx
+    p0 = 2.5
+    p = p0 * np.cos(qwave * x)[:, None] * np.ones((1, ny))
+
+    u = np.asarray(hs.deformation(p))
+    u_ana = 2. * p0 / (E * qwave) * np.cos(qwave * x)[:, None] * np.ones((1, ny))
+
+    np.testing.assert_allclose(u, u_ana, rtol=1e-10, atol=1e-12)
+
+
+def test_periodic_zero_mean():
+    hs = PeriodicHalfSpace((32, 32), 1.0, (1.0, 1.0))
+    rng = np.random.default_rng(0)
+    p = rng.normal(size=(32, 32))
+    u = np.asarray(hs.deformation(p))
+    assert abs(u.mean()) < 1e-12
+
+
+def test_free_halfspace_point_load():
+    """Far from a concentrated load, u approaches the Boussinesq 1/(pi E* r)."""
+    nx = ny = 64
+    L = 1.0
+    E = 1.0
+    hs = FreeHalfSpace((nx, ny), E, (L, L))
+
+    p = np.zeros((nx, ny))
+    p[nx // 2, ny // 2] = 1.0   # unit pressure on one cell
+    u = np.asarray(hs.deformation(p))
+
+    # positive everywhere, maximal under the load
+    assert u.max() == u[nx // 2, ny // 2]
+    assert np.all(u > 0)
+
+    dx = L / nx
+    force = 1.0 * dx * dx
+    for r_cells in (8, 16, 24):
+        u_num = u[nx // 2 + r_cells, ny // 2]
+        r = r_cells * dx
+        u_ana = force / (np.pi * E * r)
+        assert abs(u_num / u_ana - 1.) < 0.02
+
+
+def test_underrelaxation_fixed_point():
+    grid = {
+        "dx": 0.01, "dy": 0.01, "Nx": 30, "Ny": 30,
+        "Lx": 0.3, "Ly": 0.3,
+        "bc_xE_P": [True] * 3, "bc_yS_P": [True] * 3,
+    }
+    ed = ElasticDeformation(E=1e4, v=0.3, alpha_underrelax=0.5,
+                            grid=grid, n_images=0)
+    assert ed.periodicity == "full"
+
+    rng = np.random.default_rng(1)
+    p = rng.normal(size=(32, 32))
+
+    u_direct = np.asarray(ed.get_deformation(p))
+    u = None
+    for _ in range(60):
+        u = np.asarray(ed.get_deformation_underrelax(p))
+    np.testing.assert_allclose(u, u_direct, rtol=1e-6, atol=1e-9)
+
+
+def test_semi_periodic_1d_line_contact():
+    grid = {
+        "dx": 0.01, "dy": 1.0, "Nx": 64, "Ny": 1,
+        "Lx": 0.64, "Ly": 1.0,
+        "bc_xE_P": [False] * 3, "bc_yS_P": [True] * 3,
+    }
+    with pytest.warns(UserWarning):
+        ed = ElasticDeformation(E=1e4, v=0.3, alpha_underrelax=1.0,
+                                grid=grid, n_images=10)
+    # 1D special case: treated as a non-periodic line contact
+    assert ed.periodicity == "none"
+
+    p = np.zeros((66, 3))
+    p[33, :] = 1.0
+    u = np.asarray(ed.get_deformation(p))
+    assert np.all(np.isfinite(u))
+    assert u[33, 1] == u.max()
