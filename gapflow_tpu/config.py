@@ -129,6 +129,9 @@ def sanitize_options(d):
         "use_tstamp": bool(d.get("use_tstamp", True)),
         "silent": bool(d.get("silent", False)),
     }
+    # optional: directory for a jax.profiler trace of the run
+    if "profile" in d:
+        out["profile"] = str(d["profile"])
     print_dict(out)
     return out
 

@@ -280,6 +280,8 @@ public:
         }
 
         gap_ = gap;
+        bin_z0_ = thickness;
+        bin_dz_ = (gap + sigFW_) / std::max((long)getvar("nbinz", 50), 1L);
         fluid_mass_ = msum;
         built_ = true;
         neigh_valid_ = false;
@@ -353,9 +355,15 @@ public:
         // stage 3: sampling
         step_ = 0;
         open_sample_file();
+        open_thermo();
+        nbinz_ = (long)getvar("nbinz", 50);
+        dens_hist_.assign(nbinz_, 0.);
+        dens_samples_ = 0;
         integrate(tsample, -1., false, true);
         status("post-sample");
         close_sample_file();
+        close_thermo();
+        write_density_profile();
     }
 
     // ------------------------------------------------------------------
@@ -871,6 +879,25 @@ private:
             ++step_;
 
             if (sample && step_ % Nevery == 0) {
+                // z-density histogram of the fluid (ave/chunk output)
+                if (nbinz_ > 0) {
+                    const double z0 = bin_z0_, dz = bin_dz_;
+                    for (size_t ii = n_wall_; ii < n_; ++ii) {
+                        long b = (long)((x_[ii].z - z0) / dz);
+                        if (b >= 0 && b < nbinz_) dens_hist_[b] += 1.;
+                    }
+                    ++dens_samples_;
+                }
+                // thermo line
+                if (thermo_file_.is_open() && step_ % (10 * Nevery) == 0) {
+                    double ke = 0.;
+                    for (size_t ii = n_wall_; ii < n_; ++ii)
+                        ke += 0.5 * mass_[ii] *
+                              (v_[ii].x * v_[ii].x + v_[ii].y * v_[ii].y +
+                               v_[ii].z * v_[ii].z);
+                    double t = 2. * ke / (3. * n_fluid_);
+                    thermo_file_ << step_ << " " << t << " " << ke << "\n";
+                }
                 // force exerted BY the fluid ON the walls is the negative of
                 // the accumulated wall<-fluid force... bookkeeping above
                 // accumulates force on wall atoms from fluid: F_wall.
@@ -895,6 +922,34 @@ private:
                     acc_count_ = 0;
                 }
             }
+        }
+    }
+
+    void open_thermo() {
+        if (logfile_ == "none") return;
+        thermo_file_.open(logfile_, std::ios::app);
+        thermo_file_ << "Step Temp KinEng\n";
+    }
+
+    void close_thermo() {
+        if (thermo_file_.is_open()) {
+            thermo_file_ << "Loop time of sampling stage\n";
+            thermo_file_.close();
+        }
+    }
+
+    void write_density_profile() {
+        if (nbinz_ <= 0 || dens_samples_ == 0) return;
+        std::ofstream out("dens_profile.dat");
+        out << "# Chunk-averaged data for fix avedens and group fluid\n";
+        out << "# Timestep Number-of-chunks Total-count\n";
+        out << "# Chunk Coord1 Ncount density/number\n";
+        const double vol_bin = Lx_ * Ly_ * bin_dz_;
+        out << step_ << " " << nbinz_ << " " << n_fluid_ << "\n";
+        for (long b = 0; b < nbinz_; ++b) {
+            double count = dens_hist_[b] / dens_samples_;
+            out << "  " << (b + 1) << " " << bin_z0_ + (b + 0.5) * bin_dz_
+                << " " << count << " " << count / vol_bin << "\n";
         }
     }
 
@@ -954,6 +1009,11 @@ private:
     long step_ = 0;
     Vec3 wall_force_lo_{}, wall_force_hi_{};
     std::ofstream sample_file_;
+    std::ofstream thermo_file_;
+    long nbinz_ = 0;
+    long dens_samples_ = 0;
+    double bin_z0_ = 0., bin_dz_ = 1.;
+    std::vector<double> dens_hist_;
     double acc_pressL_ = 0, acc_tauxzL_ = 0, acc_tauyzL_ = 0;
     double acc_pressU_ = 0, acc_tauxzU_ = 0, acc_tauyzU_ = 0;
     long acc_count_ = 0;

@@ -237,7 +237,20 @@ class Problem:
     # ------------------------------------------------------------------
 
     def run(self, keep_open=False):
-        """Advance until convergence, max_it, or a termination signal."""
+        """Advance until convergence, max_it, or a termination signal.
+
+        If ``options['profile']`` is set, the whole run is captured with
+        ``jax.profiler.trace`` into that directory (view with tensorboard
+        or xprof).
+        """
+        profile_dir = self.options.get("profile")
+        if profile_dir:
+            import jax
+            with jax.profiler.trace(profile_dir):
+                return self._run(keep_open)
+        return self._run(keep_open)
+
+    def _run(self, keep_open=False):
         if self.step is None:
             self._pre_run()
 
@@ -549,6 +562,34 @@ class Problem:
             [float(r) for r in np.asarray(state.residual_buffer)[::-1]
              if np.isfinite(r)], 5)
         return np.asarray(qs), np.asarray(times)
+
+    def run_steps_sharded(self, n, mesh=None):
+        """Advance ``n`` fixed-dt steps sharded over a 2D device mesh.
+
+        The state is decomposed spatially over the mesh with ppermute halo
+        exchange (ICI on TPU pods); requires the interior grid to divide
+        the mesh shape.  Syncs q back to the host afterwards.
+        """
+        from .parallel import grid_mesh, make_sharded_trajectory
+        from .parallel.halo import shard_problem_arrays
+
+        if self.has_gp_model:
+            raise RuntimeError("sharded stepping requires a deterministic "
+                               "problem")
+        if self.step is None:
+            self._pre_run()
+        if mesh is None:
+            mesh = grid_mesh()
+
+        q, topo, extra = shard_problem_arrays(self, mesh)
+        runner = make_sharded_trajectory(self._solver_cfg, mesh, n)
+        q = runner(q, topo, extra, self.dt)
+
+        self.q[:, 1:-1, 1:-1] = np.asarray(q)
+        self._communicate_ghost_buffers()
+        self.step += n
+        self.simtime += n * self.dt
+        return q
 
     def run_compiled(self, max_steps=None):
         """Run the whole convergence loop on-device (no GP, no elastic).
