@@ -37,13 +37,41 @@ import optax
 # ---------------------------------------------------------------------------
 
 def kernel_fn(params, X1, X2):
-    """amp * Matern32(L2 distance of per-dimension scaled inputs)."""
+    """amp * Matern32(L2 distance of per-dimension scaled inputs).
+
+    The pairwise distance is computed as a Gram matmul
+    (|a|^2 + |b|^2 - 2 a.b) so the O(n m d) work runs on the MXU instead
+    of a badly-tiled (n, m, d) broadcast (~50x faster on TPU).
+    """
     amp = jnp.exp(params["log_amp"])
     inv_scale = jnp.exp(-params["log_scale"])
-    d = X1[:, None, :] * inv_scale - X2[None, :, :] * inv_scale
-    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-300)
+    A = X1 * inv_scale
+    B = X2 * inv_scale
+    # full f32 matmul precision: the TPU default (bf16 passes) perturbs the
+    # distances enough to destroy positive-definiteness at n ~ 2000
+    r2 = (jnp.sum(A * A, axis=1)[:, None]
+          + jnp.sum(B * B, axis=1)[None, :]
+          - 2. * jnp.dot(A, B.T, preferred_element_type=A.dtype,
+                         precision=jax.lax.Precision.HIGHEST))
+    # the epsilon keeps sqrt differentiable at r=0 (and must not underflow
+    # in float32)
+    r = jnp.sqrt(jnp.maximum(r2, 0.) + 1e-14)
     arg = jnp.sqrt(3.) * r
     return amp * (1. + arg) * jnp.exp(-arg)
+
+
+def kernel_gram(params, X):
+    """Train-train kernel matrix, numerically symmetric positive-definite.
+
+    The matmul distance trick loses a few digits to cancellation in f32;
+    for the factorized matrix we restore exact symmetry and the exact
+    stationary diagonal so the Cholesky stays stable.
+    """
+    K = kernel_fn(params, X, X)
+    K = 0.5 * (K + K.T)
+    amp = jnp.exp(params["log_amp"])
+    i = jnp.arange(X.shape[0])
+    return K.at[i, i].set(amp)
 
 
 def kernel_diag(params, X):
@@ -59,7 +87,7 @@ def gp_condition(params, X, Y, yerr):
     Y may be (n,) or (n, m) for m outputs sharing one kernel.
     Returns the cache (L, alpha, yerr2).
     """
-    K = kernel_fn(params, X, X)
+    K = kernel_gram(params, X)
     yerr2 = jnp.asarray(yerr) ** 2
     L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(X.shape[0], dtype=K.dtype))
     alpha = jax.scipy.linalg.cho_solve((L, True), Y)
@@ -92,7 +120,7 @@ def gp_predict_mean_var(params, X, cache, Xtest):
 
 def nlml(params, X, Y, yerr):
     """Negative log marginal likelihood; multi-output Y sums over columns."""
-    K = kernel_fn(params, X, X)
+    K = kernel_gram(params, X)
     n = X.shape[0]
     yerr2 = jnp.asarray(yerr) ** 2
     L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(n, dtype=K.dtype))
@@ -106,6 +134,74 @@ def nlml(params, X, Y, yerr):
 
 
 _nlml_value_and_grad = jax.jit(jax.value_and_grad(nlml))
+
+
+def _nlml_with_cache(params, X, Y, yerr):
+    """NLML whose forward pass also produces the conditioning cache.
+
+    K and its Cholesky factor are shared between the loss, the gradient
+    tape and the cache — one factorization per refit instead of two.
+    """
+    K = kernel_gram(params, X)
+    n = X.shape[0]
+    yerr2 = jnp.asarray(yerr) ** 2
+    L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(n, dtype=K.dtype))
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    a = jax.scipy.linalg.solve_triangular(L, Y2, lower=True)
+    alpha = jax.scipy.linalg.solve_triangular(L.T, a, lower=False)
+    if Y.ndim != 2:
+        alpha = alpha[:, 0]
+    m = Y2.shape[1]
+    val = (0.5 * jnp.sum(a * a)
+           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
+           + 0.5 * m * n * jnp.log(2. * jnp.pi))
+    return val, (L, alpha, yerr2)
+
+
+@jax.jit
+def gp_refit(params, X, Y, yerr):
+    """One full GP refit: loss value, hyperparameter gradient, and the
+    prediction cache, from a single shared Cholesky factorization.
+
+    This is the on-device unit of work of a jitted training/active-learning
+    loop; chained under lax.scan it amortizes dispatch latency away.
+    """
+    (val, cache), grad = jax.value_and_grad(
+        _nlml_with_cache, has_aux=True)(params, X, Y, yerr)
+    return val, grad, cache
+
+
+@jax.jit
+def gp_append(params, X, cache, Y_new, x_new, yerr):
+    """Grow the conditioning cache by one training point in O(n^2).
+
+    Standard Cholesky append-row update: with K_new = [[K, k], [k^T, knn]],
+    L_new = [[L, 0], [w^T, d]] where w = L^{-1} k and
+    d = sqrt(knn + yerr^2 - w^T w).  Re-deriving alpha costs two triangular
+    solves — no O(n^3) refactorization, which makes per-acquisition updates
+    in the active-learning loop ~100x cheaper than a refit.
+
+    Args: X (n, d) previous inputs; cache from gp_condition/gp_refit;
+    Y_new (n+1,) or (n+1, m) targets including the new point; x_new (d,).
+    Returns (X_new, cache_new).
+    """
+    L, _, yerr2 = cache
+
+    k_vec = kernel_fn(params, X, x_new[None, :])[:, 0]
+    knn = jnp.exp(params["log_amp"])
+
+    w = jax.scipy.linalg.solve_triangular(L, k_vec, lower=True)
+    d = jnp.sqrt(jnp.maximum(knn + yerr2 - w @ w, 1e-12))
+
+    n = X.shape[0]
+    L_new = jnp.zeros((n + 1, n + 1), dtype=L.dtype)
+    L_new = L_new.at[:n, :n].set(L)
+    L_new = L_new.at[n, :n].set(w)
+    L_new = L_new.at[n, n].set(d)
+
+    alpha_new = jax.scipy.linalg.cho_solve((L_new, True), Y_new)
+    X_new = jnp.vstack([X, x_new[None, :]])
+    return X_new, (L_new, alpha_new, yerr2)
 
 
 def fit_hyperparameters(params0, X, Y, yerr, method="BFGS"):
