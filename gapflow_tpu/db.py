@@ -127,6 +127,47 @@ class Database:
             print(f"- {ds.uuid} ({ds.name})")
         return readme_list
 
+    def get_readme_list_remote(self, query=None, lookup_url=None,
+                               token=None):
+        """Load dataset metadata from a dtool lookup server (dserver).
+
+        POSTs a MongoDB-style query to ``{lookup_url}/lookup-datasets`` and
+        loads the README content of each returned dataset.  ``file://``
+        URIs are read through the local dataset layer; other protocols are
+        fetched over HTTP.  Parity: reference GaPFlow/db.py:212-235.
+        """
+        import json
+        import urllib.request
+
+        lookup_url = lookup_url or self._db.get("dserver_url")
+        if not lookup_url:
+            raise RuntimeError(
+                "no lookup server configured (set db.dserver_url)")
+
+        query = query or {"readme.description": {"$regex": "Dummy"}}
+
+        req = urllib.request.Request(
+            lookup_url.rstrip("/") + "/lookup-datasets",
+            data=json.dumps(query).encode(),
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": f"Bearer {token}"} if token else {})},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            ds_list = json.loads(resp.read())
+
+        readme_list = []
+        for ds in ds_list:
+            uri = ds.get("uri", "")
+            if uri.startswith("file://"):
+                readme_list.append(_yaml.safe_load(
+                    dt.FrozenDataset(uri[len("file://"):])
+                    .get_readme_content()))
+            else:
+                with urllib.request.urlopen(
+                        uri.rstrip("/") + "/README.yml", timeout=30) as r:
+                    readme_list.append(_yaml.safe_load(r.read()))
+        return [rm for rm in readme_list if rm and "X" in rm]
+
     def set_training_path(self, new_path, check_temporary=False):
         """Set where MD datasets are written/read (also for the MD runner)."""
         overwrite = self._temporary_training_path if check_temporary else True
