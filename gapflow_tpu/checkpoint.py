@@ -55,6 +55,12 @@ def save_checkpoint(problem, path):
         "geometry": problem.geo,
         "properties": problem.prop,
     }
+    if problem.has_gp_model:
+        config["gp"] = problem.gp_config
+        config["db"] = problem.database.config
+        # mock runs rebuild the Mock oracle from properties/geometry
+        config["md"] = None if problem.database.has_mock_md \
+            else problem.database._md.params
     with open(str(path) + ".yml", "w") as fh:
         yaml.safe_dump(make_dumpable(config), fh)
 
@@ -75,8 +81,23 @@ def load_checkpoint(path, problem_cls=None):
     options = dict(config["options"])
     options["silent"] = True
 
-    problem = problem_cls(options, config["grid"], config["numerics"],
-                          config["properties"], config["geometry"])
+    if config.get("gp") is not None:
+        # GP-mode restore: rebuild the database/MD stack from the stored
+        # sections; the training datasets re-load from the dtool path
+        input_dict = {
+            "options": options,
+            "grid": config["grid"],
+            "numerics": config["numerics"],
+            "properties": config["properties"],
+            "geometry": config["geometry"],
+            "gp": config["gp"],
+            "db": config["db"],
+            "md": config.get("md"),
+        }
+        problem = problem_cls._from_dict(input_dict)
+    else:
+        problem = problem_cls(options, config["grid"], config["numerics"],
+                              config["properties"], config["geometry"])
 
     data = np.load(str(path) if str(path).endswith(".npz")
                    else str(path) + ".npz")

@@ -80,6 +80,8 @@ class Problem:
 
         gpx, gpy, gpz = self._select_gp_config(gp)
         self.has_gp_model = gp is not None
+        self.gp_config = gp
+        self.database = database
         self.pressure = Pressure(fc, prop, geo, data=database, gp=gpz)
         self.bulk_stress = BulkStress(fc, prop, geo, data=None, gp=None)
         self.wall_stress_xz = WallStress(fc, prop, geo, direction="x",

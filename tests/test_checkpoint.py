@@ -60,3 +60,76 @@ def test_checkpoint_roundtrip(tmp_path):
         p2.update()
     np.testing.assert_allclose(p2.q, p1.q, rtol=1e-14, atol=0)
     assert np.isclose(p2.residual, p1.residual)
+
+
+def test_checkpoint_gp_mode(tmp_path):
+    """GP-mode checkpoint: database and configs survive the round trip."""
+    sim_gp = f"""
+options:
+    output: {tmp_path}/out
+    write_freq: 100
+    use_tstamp: False
+    silent: True
+grid:
+    Lx: 1470.
+    Ly: 1.
+    Nx: 64
+    Ny: 1
+geometry:
+    type: parabolic
+    hmin: 12.
+    hmax: 60.
+    U: 0.12
+    V: 0.
+numerics:
+    CFL: 0.5
+    adaptive: 1
+    tol: 1e-8
+    dt: 0.05
+    max_it: 5_000
+properties:
+    shear: 2.15
+    bulk: 0.
+    EOS: BWR
+    T: 1.0
+    rho0: 0.8
+gp:
+    press:
+        fix_noise: True
+        atol: 1.5
+        rtol: 0.
+        obs_stddev: 2.e-2
+        max_steps: 3
+        active_learning: False
+    shear:
+        fix_noise: True
+        atol: 1.5
+        rtol: 0.
+        obs_stddev: 4.e-3
+        max_steps: 3
+        active_learning: False
+db:
+    init_size: 3
+    init_method: rand
+    dtool_path: {tmp_path}/train
+"""
+    p1 = Problem.from_string(sim_gp)
+    p1._pre_run()
+    for _ in range(2):
+        p1.update()
+
+    ckpt = os.path.join(tmp_path, "gp_state")
+    p1.save_checkpoint(ckpt)
+
+    p2 = Problem.from_checkpoint(ckpt)
+    assert p2.has_gp_model
+    assert p2.database.size == p1.database.size
+    assert p2.step == p1.step
+    np.testing.assert_array_equal(p2.q, p1.q)
+
+    # restored problem can continue stepping after re-initializing the GPs
+    p2.pressure.init()
+    p2.wall_stress_xz.init()
+    p2.wall_stress_yz.init()
+    p2.update()
+    assert p2.step == p1.step + 1
