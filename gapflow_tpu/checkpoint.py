@@ -13,7 +13,6 @@ GP-mode runs additionally persist the training arrays; the on-disk MD
 datasets are re-adopted through the Database as usual.
 """
 
-import os
 
 import numpy as np
 import yaml

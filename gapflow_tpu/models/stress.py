@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import vmap, grad
 
-from .gp import GaussianProcessSurrogate, gp_predict_mean, kernel_fn
+from .gp import GaussianProcessSurrogate, kernel_fn
 from .eos import eos_pressure, eos_sound_velocity
 from .viscous import stress_bottom, stress_top, stress_avg
 from .viscosity import piezoviscosity, shear_thinning_factor, shear_rate_avg

@@ -29,7 +29,7 @@ from .config import (read_yaml_input, read_yaml_string, write_yaml,
 from .core.state import SimState
 from .core.step import (SolverConfig, make_det_step, make_pass_fn,
                         make_run_loop, make_trajectory, apply_bcs)
-from .core.integrate import predictor_corrector, source
+
 from .db import Database
 from .fields import FieldCollection
 from .md import Mock, LennardJones, GoldAlkane

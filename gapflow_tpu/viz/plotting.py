@@ -11,8 +11,8 @@ import matplotlib.pyplot as plt
 
 from ..config import read_history_csv
 from ..nc import NCReader
-from .utils import (_get_centerline_coords, set_axes_labels, set_axes_limits,
-                    _plot_gp, mpl_style_context)
+from .utils import (_get_centerline_coords, set_axes_labels, _plot_gp,
+                    mpl_style_context)
 
 
 # ---------------------------------------------------------------------------
