@@ -44,6 +44,12 @@ def _load_library():
     lib.nanomd_has_package.argtypes = [ctypes.c_char_p]
     lib.nanomd_last_error.restype = ctypes.c_char_p
     lib.nanomd_last_error.argtypes = [ctypes.c_void_p]
+    lib.nanomd_natoms.restype = ctypes.c_long
+    lib.nanomd_natoms.argtypes = [ctypes.c_void_p]
+    lib.nanomd_box.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_double)]
+    lib.nanomd_global.restype = ctypes.c_double
+    lib.nanomd_global.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     _lib = lib
     return lib
 
@@ -81,6 +87,19 @@ class Engine:
 
     def version(self):
         return self._lib.nanomd_version().decode()
+
+    def get_natoms(self):
+        return int(self._lib.nanomd_natoms(self._handle))
+
+    def extract_box(self):
+        """((xlo, ylo, zlo), (xhi, yhi, zhi)) of the current system."""
+        buf = (ctypes.c_double * 6)()
+        self._lib.nanomd_box(self._handle, buf)
+        return (buf[0], buf[2], buf[4]), (buf[1], buf[3], buf[5])
+
+    def extract_global(self, name):
+        """Scalar engine state / deck variable by name."""
+        return float(self._lib.nanomd_global(self._handle, name.encode()))
 
     def has_package(self, name):
         return bool(self._lib.nanomd_has_package(name.encode()))

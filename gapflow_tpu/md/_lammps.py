@@ -38,6 +38,16 @@ class _Lammps:
     def version(self):
         return self._engine.version()
 
+    def get_natoms(self):
+        return self._engine.get_natoms()
+
+    def extract_box(self):
+        return self._engine.extract_box()
+
+    def extract_global(self, name, dtype=None):
+        del dtype
+        return self._engine.extract_global(name)
+
     def has_package(self, name):
         return self._engine.has_package(name)
 

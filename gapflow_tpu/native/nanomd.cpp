@@ -375,6 +375,24 @@ public:
         return p == "LJ" || p == "EXTRA-FIX" || p == "WALLS";
     }
 
+    long natoms() const { return (long)n_; }
+    long nfluid() const { return (long)n_fluid_; }
+
+    void box(double* out) const {  // xlo xhi ylo yhi zlo zhi
+        out[0] = 0.; out[1] = Lx_;
+        out[2] = 0.; out[3] = Ly_;
+        out[4] = 0.; out[5] = Lz_;
+    }
+
+    double global(const std::string& name) const {
+        if (name == "dt") return dt_;
+        if (name == "natoms") return (double)n_;
+        if (name == "step") return (double)step_;
+        if (name == "temp") return temp_;
+        if (name == "cutoff") return cutoff_;
+        return getvar(name, 0.);
+    }
+
 private:
     // -- deck helpers -------------------------------------------------------
     static std::string strip_comment(const std::string& s) {
@@ -1047,6 +1065,18 @@ int nanomd_has_package(const char* name) {
 
 const char* nanomd_last_error(void* h) {
     return static_cast<nanomd::Engine*>(h)->last_error();
+}
+
+long nanomd_natoms(void* h) {
+    return static_cast<nanomd::Engine*>(h)->natoms();
+}
+
+void nanomd_box(void* h, double* out) {
+    static_cast<nanomd::Engine*>(h)->box(out);
+}
+
+double nanomd_global(void* h, const char* name) {
+    return static_cast<nanomd::Engine*>(h)->global(name);
 }
 
 }  // extern "C"

@@ -118,3 +118,25 @@ def test_engine_output_feeds_md_utils(tmp_path):
     assert abs(Y[5] - 0.3) < 0.05
     assert abs(Y[11] + 0.3) < 0.05
     assert np.all(Yerr[[0, 4, 5, 10, 11]] > 0)
+
+
+def test_engine_introspection(tmp_path):
+    """extract_box/extract_global/get_natoms after building a system."""
+    import os
+    from gapflow_tpu.md._lammps import lammps
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wall = os.path.join(repo, "examples", "lmp", "lj", "wall.data")
+
+    lmp = lammps.lammps(cmdargs=["-log", "none"])
+    lmp.command("variable input_gap equal 6.0")
+    lmp.command("variable input_dens equal 0.5")
+    lmp.command(f"variable slabfile index {wall}")
+    lmp.command("workload confined_lj")
+
+    assert lmp.get_natoms() > 288          # walls + fluid
+    (xlo, ylo, zlo), (xhi, yhi, zhi) = lmp.extract_box()
+    assert xhi > xlo and yhi > ylo and zhi > zlo
+    assert lmp.extract_global("natoms") == lmp.get_natoms()
+    assert lmp.extract_global("dt") > 0
+    lmp.close()
