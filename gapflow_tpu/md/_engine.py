@@ -50,6 +50,9 @@ def _load_library():
                                ctypes.POINTER(ctypes.c_double)]
     lib.nanomd_global.restype = ctypes.c_double
     lib.nanomd_global.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.nanomd_gather.restype = ctypes.c_int
+    lib.nanomd_gather.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -100,6 +103,16 @@ class Engine:
     def extract_global(self, name):
         """Scalar engine state / deck variable by name."""
         return float(self._lib.nanomd_global(self._handle, name.encode()))
+
+    def gather_atoms(self, name="x"):
+        """Per-atom data ('x', 'v' or 'f') as an (natoms, 3) numpy array."""
+        import numpy as np
+        n = self.get_natoms()
+        buf = (ctypes.c_double * (3 * n))()
+        rc = self._lib.nanomd_gather(self._handle, name.encode(), buf)
+        if rc != 0:
+            raise EngineError(f"unknown per-atom field: {name}")
+        return np.ctypeslib.as_array(buf).reshape(n, 3).copy()
 
     def has_package(self, name):
         return bool(self._lib.nanomd_has_package(name.encode()))

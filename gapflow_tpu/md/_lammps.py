@@ -48,6 +48,10 @@ class _Lammps:
         del dtype
         return self._engine.extract_global(name)
 
+    def gather_atoms(self, name="x", dtype=1, count=3):
+        del dtype, count
+        return self._engine.gather_atoms(name)
+
     def has_package(self, name):
         return self._engine.has_package(name)
 

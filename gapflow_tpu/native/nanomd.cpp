@@ -384,6 +384,21 @@ public:
         out[4] = 0.; out[5] = Lz_;
     }
 
+    // copy per-atom data (name: x | v | f) into out[3*natoms]
+    int gather(const std::string& name, double* out) const {
+        const std::vector<Vec3>* src = nullptr;
+        if (name == "x") src = &x_;
+        else if (name == "v") src = &v_;
+        else if (name == "f") src = &f_;
+        else return 1;
+        for (size_t i = 0; i < n_; ++i) {
+            out[3 * i] = (*src)[i].x;
+            out[3 * i + 1] = (*src)[i].y;
+            out[3 * i + 2] = (*src)[i].z;
+        }
+        return 0;
+    }
+
     double global(const std::string& name) const {
         if (name == "dt") return dt_;
         if (name == "natoms") return (double)n_;
@@ -1077,6 +1092,10 @@ void nanomd_box(void* h, double* out) {
 
 double nanomd_global(void* h, const char* name) {
     return static_cast<nanomd::Engine*>(h)->global(name);
+}
+
+int nanomd_gather(void* h, const char* name, double* out) {
+    return static_cast<nanomd::Engine*>(h)->gather(name, out);
 }
 
 }  // extern "C"

@@ -177,12 +177,27 @@ def _reassemble(q_like, q_int):
     return out
 
 
+def _auto_bs(nx, ny):
+    """Largest strip that keeps the kernel's live VMEM within budget.
+
+    Live temporaries scale with bs*ny; bs*ny ~ 128*1024 fits comfortably
+    within the 16 MB VMEM (measured on v5e with the factored closures).
+    """
+    budget = 128 * 1024
+    bs = max(8, min(nx, (budget // ny) // 8 * 8))
+    while nx % bs and bs > 8:
+        bs -= 8
+    return bs
+
+
 @lru_cache(maxsize=16)
 def _make_call(cfg, nx, ny, bs, dtype):
     """The raw pallas_call on x-extended interior arrays."""
     if not pallas_supported(cfg, ny):
         raise ValueError("Pallas step requires fully periodic BCs, a static "
                          "MacCormack pass order, and ny % 128 == 0")
+    if bs is None:
+        bs = _auto_bs(nx, ny)
     bs = min(bs, nx)
     assert nx % bs == 0 and bs % 8 == 0, \
         "strip size must divide nx and align to 8"
@@ -238,7 +253,7 @@ def _make_call(cfg, nx, ny, bs, dtype):
 
 
 @lru_cache(maxsize=16)
-def make_pallas_step(cfg, nx, ny, bs=128, dtype=jnp.float32):
+def make_pallas_step(cfg, nx, ny, bs=None, dtype=jnp.float32):
     """Single fused two-pass stencil step on ghost-inclusive arrays.
 
     Matches :func:`gapflow_tpu.core.step.make_det_step` for periodic
@@ -267,7 +282,7 @@ def make_pallas_step(cfg, nx, ny, bs=128, dtype=jnp.float32):
 
 
 @lru_cache(maxsize=16)
-def make_pallas_loop(cfg, nx, ny, bs=128, dtype=jnp.float32):
+def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32):
     """n-step driver around the fused kernel with statics hoisted.
 
     ``loop(q, topo, extra, dt, n_steps) -> q`` on ghost-inclusive arrays:

@@ -140,3 +140,24 @@ def test_engine_introspection(tmp_path):
     assert lmp.extract_global("natoms") == lmp.get_natoms()
     assert lmp.extract_global("dt") > 0
     lmp.close()
+
+
+def test_engine_gather_atoms():
+    import os
+    from gapflow_tpu.md._lammps import lammps
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wall = os.path.join(repo, "examples", "lmp", "lj", "wall.data")
+
+    lmp = lammps.lammps(cmdargs=["-log", "none"])
+    lmp.command(f"variable slabfile index {wall}")
+    lmp.command("variable input_gap equal 6.0")
+    lmp.command("variable input_dens equal 0.5")
+    lmp.command("workload confined_lj")
+
+    x = lmp.gather_atoms("x")
+    assert x.shape == (lmp.get_natoms(), 3)
+    assert np.all(np.isfinite(x))
+    v = lmp.gather_atoms("v")
+    assert v.shape == x.shape
+    lmp.close()
