@@ -453,7 +453,86 @@ class Problem:
 
     # -- GP-driven path -------------------------------------------------
 
+    # -- fused GP path ----------------------------------------------------
+
+    def _gp_models(self):
+        return [m for m in (self.pressure, self.wall_stress_xz,
+                            self.wall_stress_yz) if m.is_gp_model]
+
+    def _gp_fused_eligible(self, one_step_before_output):
+        """The whole GP step can run as one XLA program when no model may
+        retrain/acquire this step and no variance output is due."""
+        if one_step_before_output:
+            return False
+        models = self._gp_models()
+        if not models:
+            return False
+        for m in models:
+            if m.use_active_learning and m._pause < 0:
+                return False
+            if m.last_fit_train_size < m.database.size:
+                return False
+            if m.params is None:
+                return False
+        return True
+
+    def _gp_state(self):
+        """Collect per-surrogate caches for the fused step."""
+        state = {"Xscale": jnp.asarray(self.database.X_scale)}
+        for key, model in (("z", self.pressure), ("x", self.wall_stress_xz),
+                           ("y", self.wall_stress_yz)):
+            if not model.is_gp_model:
+                continue
+            model._ensure_conditioned()
+            state[f"params_{key}"] = model.params
+            state[f"Xfit_{key}"] = model._X_at_fit
+            state[f"alpha_{key}"] = model.cond_gp[1]
+            state[f"Yscale_{key}"] = jnp.asarray(model.Yscale)
+        return state
+
+    def _update_gp_fused(self):
+        from .core.gp_step import make_gp_step
+
+        dims = tuple(
+            tuple(m.active_dims) if m.is_gp_model else None
+            for m in (self.pressure, self.wall_stress_xz,
+                      self.wall_stress_yz))
+        use = tuple(m.is_gp_model for m in (self.pressure,
+                                            self.wall_stress_xz,
+                                            self.wall_stress_yz))
+        step_fn = make_gp_step(self._solver_cfg, dims,
+                               self.database.num_features, use)
+
+        q_new, p_last = step_fn(jnp.asarray(self.q),
+                                jnp.asarray(self.topo.full),
+                                jnp.asarray(self.fc.get_real_field("extra").p),
+                                jnp.asarray(self.dt),
+                                jnp.asarray(self.step, dtype=jnp.int32),
+                                self._gp_state())
+
+        q0 = self.q.copy()
+        self.q[...] = np.asarray(q_new)
+        self.fc.get_real_field("pressure").p[...] = np.asarray(p_last)
+
+        # protocol bookkeeping (one predictor pass per step)
+        for m in self._gp_models():
+            m._step += 1
+            m._pause = max(-1, m._pause - 1)
+
+        if self.q_is_valid:
+            self.topo.update()
+            self._post_update()
+        else:
+            self._finalize(q0)
+
     def _update_gp(self):
+        one_step_before_output = \
+            (self.step + 1) % self.options["write_freq"] == 0
+
+        if self._gp_fused_eligible(one_step_before_output):
+            self._update_gp_fused()
+            return
+
         if self._pass_fn is None:
             self._pass_fn = make_pass_fn(self._solver_cfg)
 
