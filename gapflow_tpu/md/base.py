@@ -31,7 +31,15 @@ class MolecularDynamics:
     num_worker: int
     is_mock: bool
     _dtool_basepath: str = "/tmp/"
-    _readme_template: str = ""
+
+    @property
+    def _readme_template(self):
+        template = os.path.join(os.path.dirname(__file__),
+                                "readme_template.yml")
+        if os.path.exists(template):
+            with open(template) as fh:
+                return fh.read()
+        return ""
     _input_names = (["ρ", "jx", "jy", "h", "∂h/∂x", "∂h/∂y"]
                     + [f"extra_{i}" for i in range(10)])
     _ascii_art: str = r"""

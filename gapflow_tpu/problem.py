@@ -270,6 +270,13 @@ class Problem:
                 self._post_run()
             return
 
+        # Non-silent deterministic runs: advance write_freq steps per device
+        # round-trip (scanned trajectory), writing frames at the reference
+        # cadence.  Convergence is checked at frame boundaries.
+        if not self.has_gp_model and not self.topo.elastic:
+            self._run_chunked(keep_open)
+            return
+
         if not self.options["silent"]:
             print(61 * "-")
             print(f"{'Step':6s} {'Timestep':10s} {'Time':10s} "
@@ -289,6 +296,35 @@ class Problem:
 
         if not keep_open:
             self._post_run()
+
+    def _run_chunked(self, keep_open=False):
+        """Deterministic non-silent run: on-device chunks between writes."""
+        print(61 * "-")
+        print(f"{'Step':6s} {'Timestep':10s} {'Time':10s} "
+              f"{'CFL':10s} {'Residual':10s}")
+        print(61 * "-")
+        self._refresh_det_fields()
+        self.write(params=False)
+
+        self._tic = datetime.now()
+        chunk = self.options["write_freq"]
+        while (not self.converged and self.step < self.max_it
+               and not self._stop):
+            n = min(chunk, self.max_it - self.step)
+            self.run_steps(n)
+            self._refresh_det_fields()
+            self.write()
+            handle_signals(self._receive_signal)
+
+        if not keep_open:
+            self._post_run()
+
+    def _refresh_det_fields(self):
+        """Recompute pressure/stress output fields from the current q."""
+        self.pressure.update(predictor=False, compute_var=True)
+        self.wall_stress_xz.update(predictor=False, compute_var=True)
+        self.wall_stress_yz.update(predictor=False, compute_var=True)
+        self.bulk_stress.update()
 
     def _pre_run(self):
         self.pressure.init_database(self.grid["dim"])

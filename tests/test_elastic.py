@@ -101,3 +101,67 @@ def test_semi_periodic_1d_line_contact():
     u = np.asarray(ed.get_deformation(p))
     assert np.all(np.isfinite(u))
     assert u[33, 1] == u.max()
+
+
+def test_2d_elastic_ehl_smoke():
+    """2D EHL: parabolic gap + free half-space deformation, a few steps."""
+    from gapflow_tpu import Problem
+
+    sim = """
+options:
+    output: data/ehl2d
+    write_freq: 1000
+    silent: True
+grid:
+    Lx: 1.e-3
+    Ly: 1.e-3
+    Nx: 32
+    Ny: 32
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    yS: ['D', 'N', 'N']
+    yN: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007
+    yS_D: 877.7007
+    yN_D: 877.7007
+geometry:
+    type: parabolic
+    hmin: 5.e-7
+    hmax: 5.e-6
+    U: 1.
+    V: 0.
+numerics:
+    CFL: 0.25
+    adaptive: 1
+    tol: 1e-8
+    dt: 1e-11
+    max_it: 10_000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+    elastic:
+        E: 5e9
+        v: 0.3
+        alpha_underrelax: 0.05
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    assert problem.topo.elastic
+    assert problem.topo.ElasticDeformation.periodicity == "none"
+
+    h0 = problem.topo.h.copy()
+    for _ in range(10):
+        problem.update()
+
+    assert problem.q_is_valid
+    defo = np.asarray(problem.topo.deformation)
+    assert np.all(np.isfinite(defo))
+    # pressure deformed the gap and gradients were updated
+    assert np.any(problem.topo.h != h0)
+    assert np.all(np.isfinite(problem.topo.dh_dx))
