@@ -680,6 +680,38 @@ class Problem:
              if np.isfinite(r)], 5)
         return np.asarray(qs), np.asarray(times)
 
+    def run_steps_fast(self, n, dtype=None):
+        """Advance ``n`` fixed-dt steps through the fused Pallas kernel.
+
+        Float32, periodic-BC production path (falls back to
+        :meth:`run_steps` when the kernel does not cover the problem).
+        Tracks no residuals; syncs q afterwards.
+        """
+        from .ops import make_pallas_loop, pallas_supported
+        import jax.numpy as _jnp
+
+        if self.has_gp_model or self.topo.elastic:
+            raise RuntimeError("run_steps_fast requires a deterministic, "
+                               "non-elastic problem")
+        if self.step is None:
+            self._pre_run()
+        if self.numerics["adaptive"]:
+            raise RuntimeError("run_steps_fast uses a fixed dt")
+
+        ny = self.grid["Ny"]
+        if not pallas_supported(self._solver_cfg, ny):
+            self.run_steps(n)
+            return
+
+        loop = make_pallas_loop(self._solver_cfg, self.grid["Nx"], ny,
+                                dtype=dtype or _jnp.float32)
+        q = loop(jnp.asarray(self.q), jnp.asarray(self.topo.full),
+                 jnp.asarray(self.fc.get_real_field("extra").p),
+                 jnp.asarray(self.dt), n)
+        self.q[...] = np.asarray(q)
+        self.step += n
+        self.simtime += n * self.dt
+
     def run_steps_sharded(self, n, mesh=None):
         """Advance ``n`` fixed-dt steps sharded over a 2D device mesh.
 
