@@ -325,6 +325,9 @@ def sanitize_gp(d):
             "max_steps": int(ds.get("max_steps", 5)),
             "pause_steps": int(ds.get("pause_steps", 100)),
             "active_learning": bool(ds.get("active_learning", True)),
+            # bound the acquisition search to a strided cell subset
+            # (0 = all cells)
+            "al_candidates": int(ds.get("al_candidates", 0)),
         }
         if sk == "press":
             sub["active_dims"] = list(ds.get("active_dims", [0, 3]))

@@ -453,8 +453,37 @@ class GaussianProcessSurrogate:
         return mean, self._predictive_var
 
     # -- active learning ----------------------------------------------------
-    def _active_learning(self, var):
-        imax = int(np.argmax(np.asarray(var)))
+    def _candidate_indices(self):
+        """Acquisition candidate subset (strided) when configured.
+
+        Computing predictive variance over every grid cell costs an
+        (n_train x n_cells) triangular solve per pass; on large grids the
+        ``al_candidates`` option bounds the acquisition search to a strided
+        subset of cells (None = all cells, reference behavior).
+        """
+        k = getattr(self, "al_candidates", 0)
+        n = self._Xtest.shape[0]
+        if not k or k >= n:
+            return None
+        stride = max(1, n // k)
+        return np.arange(0, n, stride)
+
+    def _infer_subset_var(self, idx):
+        """Predictive variance on a candidate subset (for acquisition)."""
+        self._ensure_conditioned()
+        Xt = self.Xtest[idx]
+        _, v = gp_predict_mean_var(self.params, self._X_at_fit,
+                                   self.cond_gp, Xt)
+        v = v * self.Yscale ** 2
+        self.maximum_variance = jnp.max(v)
+        self.variance_tol = jnp.maximum(
+            self.atol * self.Yerr * self.Yscale,
+            self.rtol * self.Yscale) ** 2
+        return v
+
+    def _active_learning(self, var, idx=None):
+        flat = np.argmax(np.asarray(var))
+        imax = int(flat if idx is None else idx[flat])
         Xnew = self._Xtest[imax, :][None, :]
         self._database.add_data(Xnew)
 
@@ -468,8 +497,16 @@ class GaussianProcessSurrogate:
                 self._train(reason=0)
                 self._cumtime_train += datetime.now() - tic
 
+        idx = self._candidate_indices() if self.use_active_learning else None
+
         tic = datetime.now()
-        m, v = self._infer(compute_var=compute_var and predictor)
+        if idx is not None and predictor:
+            # subset acquisition: full variance only when output wants it
+            m, _ = self._infer(compute_var=compute_var and predictor)
+            v = self._infer_subset_var(idx)
+        else:
+            m, v = self._infer(compute_var=(
+                (compute_var or self.use_active_learning) and predictor))
         self._cumtime_infer += datetime.now() - tic
 
         if self.use_active_learning and predictor and self._pause < 0:
@@ -478,14 +515,18 @@ class GaussianProcessSurrogate:
 
             while not self.trusted and counter < self.max_steps:
                 counter += 1
-                self._active_learning(v)
+                self._active_learning(v, idx=idx)
 
                 tic = datetime.now()
                 self._train(reason=1)
                 self._cumtime_train += datetime.now() - tic
 
                 tic = datetime.now()
-                m, v = self._infer(compute_var=True)
+                if idx is not None:
+                    m = self._infer_mean()
+                    v = self._infer_subset_var(idx)
+                else:
+                    m, v = self._infer(compute_var=True)
                 self._cumtime_infer += datetime.now() - tic
 
                 after = self.maximum_variance / self.variance_tol
@@ -499,7 +540,10 @@ class GaussianProcessSurrogate:
                 print("#" + 50 * "-")
                 self._pause = self.pause_steps
 
-        return m, v
+        # the returned variance is always the full-grid field (possibly from
+        # an earlier full computation); acquisition-subset variances stay
+        # internal
+        return m, self._predictive_var
 
     # -- misc ---------------------------------------------------------------
     @property

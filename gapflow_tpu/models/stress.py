@@ -59,6 +59,7 @@ class WallStress(GaussianProcessSurrogate):
             self.rtol = gp["rtol"]
             self.max_steps = gp["max_steps"]
             self.pause_steps = gp["pause_steps"]
+            self.al_candidates = gp.get("al_candidates", 0)
             self.is_gp_model = True
             self.use_active_learning = gp["active_learning"]
         else:
@@ -162,9 +163,8 @@ class WallStress(GaussianProcessSurrogate):
         f[11] = s_top[-1] / 2.
 
         if self.is_gp_model:
-            mean, var = self.predict(
-                predictor=predictor,
-                compute_var=self.use_active_learning or compute_var)
+            mean, var = self.predict(predictor=predictor,
+                                     compute_var=compute_var)
             f[self._out_index] = np.asarray(mean[0])
             f[self._out_index + 6] = np.asarray(mean[1])
             self.__field_variance.p[...] = np.asarray(var)
@@ -238,6 +238,7 @@ class Pressure(GaussianProcessSurrogate):
             self.rtol = gp["rtol"]
             self.max_steps = gp["max_steps"]
             self.pause_steps = gp["pause_steps"]
+            self.al_candidates = gp.get("al_candidates", 0)
             self.is_gp_model = True
             self.use_active_learning = gp["active_learning"]
         else:
@@ -309,9 +310,8 @@ class Pressure(GaussianProcessSurrogate):
 
     def update(self, predictor=False, compute_var=False):
         if self.is_gp_model:
-            mean, var = self.predict(
-                predictor=predictor,
-                compute_var=self.use_active_learning or compute_var)
+            mean, var = self.predict(predictor=predictor,
+                                     compute_var=compute_var)
             self.__field.p[...] = np.asarray(mean)
             self.__field_variance.p[...] = np.asarray(var)
         else:

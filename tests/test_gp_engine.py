@@ -83,3 +83,68 @@ def test_trainers_reduce_nlml(data):
     p_jax, v_jax = fit_hyperparameters_jax(params, X, Y, 0.05,
                                            lr=0.05, steps=150)
     assert float(v_jax) < v0
+
+
+def test_al_candidate_subsampling(tmp_path):
+    """AL with a bounded candidate set still acquires and converges."""
+    from gapflow_tpu import Problem
+
+    sim = f"""
+options:
+    output: {tmp_path}
+    write_freq: 100
+    use_tstamp: False
+    silent: True
+grid:
+    Lx: 1470.
+    Ly: 1.
+    Nx: 100
+    Ny: 1
+geometry:
+    type: parabolic
+    hmin: 12.
+    hmax: 60.
+    U: 0.12
+    V: 0.
+numerics:
+    CFL: 0.5
+    adaptive: 1
+    tol: 1e-8
+    dt: 0.05
+    max_it: 5_000
+properties:
+    shear: 2.15
+    bulk: 0.
+    EOS: BWR
+    T: 1.0
+    rho0: 0.8
+gp:
+    press:
+        fix_noise: True
+        atol: .7
+        rtol: 0.
+        obs_stddev: 2.e-2
+        max_steps: 5
+        active_learning: True
+        al_candidates: 16
+    shear:
+        fix_noise: True
+        atol: .9
+        rtol: 0.
+        obs_stddev: 4.e-3
+        max_steps: 5
+        active_learning: True
+        al_candidates: 16
+db:
+    init_size: 3
+    init_method: rand
+    dtool_path: {tmp_path}/train
+"""
+    p = Problem.from_string(sim)
+    p._pre_run()
+    size0 = p.database.size
+    for _ in range(2):
+        p.update()
+    # acquisitions happened from the subsampled candidate set
+    assert p.database.size > size0
+    assert p.q_is_valid
