@@ -41,12 +41,32 @@ from ..models.closures_opt import (fused_pass_top_pre, precompute_statics,
 HALO_X = 4   # 2 physics cells + 2 alignment padding
 
 
+def _fully_periodic(cfg):
+    return all(all(dict(cfg.bc[i])["P"]) for i in range(4))
+
+
+def _edges_uniform(cfg):
+    """Every edge is either fully periodic or has no periodic component.
+
+    Mixed P/D components on one edge keep the serial quirk of leaving the
+    periodic component's ghost stale; the kernel does not reproduce that.
+    """
+    for i in range(4):
+        P = dict(cfg.bc[i])["P"]
+        if any(P) and not all(P):
+            return False
+    return True
+
+
 def pallas_supported(cfg, ny=128):
-    """The kernel covers fully periodic problems with static pass order
-    and lane-aligned width."""
-    return (cfg.MC_order != 0
-            and ny % 128 == 0
-            and all(all(dict(cfg.bc[i])["P"]) for i in range(4)))
+    """Kernel coverage: static pass order, lane-aligned width, and edge
+    specs that are per-edge uniformly periodic or non-periodic (the
+    boundary variant additionally needs the factored Newtonian physics)."""
+    if cfg.MC_order == 0 or ny % 128 != 0 or not _edges_uniform(cfg):
+        return False
+    if not _fully_periodic(cfg) and not _fused_applicable(cfg):
+        return False
+    return True
 
 
 def _fused_applicable(cfg):
@@ -91,6 +111,106 @@ def _one_pass_fused(cfg, q0, q1, q2, st, dt, d):
     q1n = q1 - dt * (ddx(p + tb_xx) + ddy(tb_xy) - S1)
     q2n = q2 - dt * (ddx(tb_xy) + ddy(p + tb_yy) - S2)
     return q0n, q1n, q2n
+
+
+# ---------------------------------------------------------------------------
+# Boundary-capable variant (explicit ghost rows/cols)
+# ---------------------------------------------------------------------------
+#
+# Non-periodic edges need ghost refills BETWEEN the two passes, which is
+# local information: a Dirichlet/Neumann ghost depends only on the adjacent
+# interior cell.  Layout trick for the lane (y) axis: ghost columns live at
+# index ny (right/North) and index W-1 (left/South) of a 128-aligned width
+# W >= ny+2, so the in-kernel rolls pick them up exactly like a periodic
+# wrap — col 0's left neighbor IS col W-1 — and only the ghost/padding
+# columns (refilled or ignored) ever see garbage.
+
+def _pad_width(ny):
+    return ((ny + 2 + 127) // 128) * 128
+
+
+def _ghost_row(bc, adj):
+    """Ghost values (3, W) for one x edge from its per-component masks."""
+    rows = []
+    for c in range(3):
+        if bc["D"][c]:
+            rows.append(2. * bc["val"] - adj[c])
+        elif bc["N"][c]:
+            rows.append(adj[c])
+        else:            # uniform edges: P never reaches the refill path
+            rows.append(adj[c])
+    return rows
+
+
+def _refill_ghosts(cfg, comps, bs, ny, i_strip, n_strips):
+    """Refill ghost rows/cols of the (3, rows, W) pass output in the serial
+    fill order (x edges, then y edges so corners take the y value)."""
+    q0, q1, q2 = comps
+    W = q0.shape[1]
+
+    bc_xE, bc_xW = cfg.bc_edge(0), cfg.bc_edge(1)
+    if not all(bc_xE["P"]):
+        adjL = [q[HALO_X, :] for q in comps]          # first interior row
+        adjR = [q[HALO_X + bs - 1, :] for q in comps]  # last interior row
+        fillL = _ghost_row(bc_xE, adjL)
+        fillR = _ghost_row(bc_xW, adjR)
+        is_first = i_strip == 0
+        is_last = i_strip == n_strips - 1
+        comps = [
+            jnp.concatenate([
+                q[:HALO_X - 1],
+                jnp.where(is_first, fL, q[HALO_X - 1, :])[None, :],
+                q[HALO_X:HALO_X + bs],
+                jnp.where(is_last, fR, q[HALO_X + bs, :])[None, :],
+                q[HALO_X + bs + 1:],
+            ], axis=0)
+            for q, fL, fR in zip(comps, fillL, fillR)
+        ]
+
+    bc_yS, bc_yN = cfg.bc_edge(2), cfg.bc_edge(3)
+    out = []
+    for c, q in enumerate(comps):
+        # South ghost lives at col W-1 (left neighbor of col 0)
+        if bc_yS["P"][c]:
+            vS = q[:, ny - 1]
+            vN = q[:, 0]
+        else:
+            vS = (2. * bc_yS["val"] - q[:, 0]) if bc_yS["D"][c] else q[:, 0]
+            vN = (2. * bc_yN["val"] - q[:, ny - 1]) if bc_yN["D"][c] \
+                else q[:, ny - 1]
+        out.append(jnp.concatenate([
+            q[:, :ny], vN[:, None], q[:, ny + 1:W - 1], vS[:, None],
+        ], axis=1))
+    return out
+
+
+def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1,
+                     dt_ref, q_hbm, st_hbm, out_ref, q_loc, st_loc, sems):
+    i = pl.program_id(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    cp_q = pltpu.make_async_copy(
+        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
+    cp_s = pltpu.make_async_copy(
+        st_hbm.at[:, pl.ds(x0, rows), :], st_loc, sems.at[1])
+    cp_q.start()
+    cp_s.start()
+    cp_q.wait()
+    cp_s.wait()
+
+    dt = dt_ref[0]
+    st = tuple(st_loc[c] for c in range(N_STATIC))
+    q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
+
+    comps = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
+    comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
+    a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
+
+    sl = slice(HALO_X, HALO_X + bs)
+    out_ref[0] = (a[sl, :ny] + q0_0[sl, :ny]) / 2.
+    out_ref[1] = (b[sl, :ny] + q1_0[sl, :ny]) / 2.
+    out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
 
 
 # ---------------------------------------------------------------------------
@@ -190,12 +310,77 @@ def _auto_bs(nx, ny):
     return bs
 
 
+def _make_ext_from_interior(cfg, W, per_x):
+    """Build the per-step extension for the boundary kernel directly from
+    the interior (3, nx, ny) state: ghost rows/cols come from the BC
+    formulas, no intermediate ghost-inclusive array."""
+    bc_xE, bc_xW = cfg.bc_edge(0), cfg.bc_edge(1)
+    bc_yS, bc_yN = cfg.bc_edge(2), cfg.bc_edge(3)
+    per_y = all(bc_yS["P"])
+
+    def ghost_vals(bc, adj):
+        comps = []
+        for c in range(3):
+            if bc["D"][c]:
+                comps.append(2. * bc["val"] - adj[c])
+            elif bc["N"][c]:
+                comps.append(adj[c])
+            else:
+                comps.append(adj[c])
+        return jnp.stack(comps)
+
+    def ext(q_int):
+        ny = q_int.shape[2]
+        if per_x:
+            top = q_int[:, -HALO_X:]
+            bot = q_int[:, :HALO_X]
+        else:
+            gt = ghost_vals(bc_xE, q_int[:, 0, :])[:, None, :]
+            gb = ghost_vals(bc_xW, q_int[:, -1, :])[:, None, :]
+            top = jnp.repeat(gt, HALO_X, axis=1)
+            bot = jnp.repeat(gb, HALO_X, axis=1)
+        rows = jnp.concatenate([top, q_int, bot], axis=1)
+
+        if per_y:
+            gS = rows[:, :, ny - 1:ny]
+            gN = rows[:, :, 0:1]
+        else:
+            gS = ghost_vals(bc_yS, rows[:, :, 0])[:, :, None]
+            gN = ghost_vals(bc_yN, rows[:, :, ny - 1])[:, :, None]
+        pad = jnp.zeros((3, rows.shape[1], W - ny - 2), dtype=q_int.dtype)
+        return jnp.concatenate([rows, gN, pad, gS], axis=2)
+
+    return ext
+
+
+def _extend_bc(arr, per_x, W):
+    """Ghost-inclusive (C, nx+2, ny+2) -> boundary-kernel layout
+    (C, nx+2*HALO_X, W): x halos wrap (periodic) or replicate the input
+    ghost row; y ghosts move to cols [ny] (North) and [W-1] (South)."""
+    C, nxg, nyg = arr.shape
+    ny = nyg - 2
+    rows_i = arr[:, 1:-1, :]
+    if per_x:
+        top = rows_i[:, -HALO_X:]
+        bot = rows_i[:, :HALO_X]
+    else:
+        top = jnp.repeat(arr[:, :1], HALO_X, axis=1)
+        bot = jnp.repeat(arr[:, -1:], HALO_X, axis=1)
+    rows = jnp.concatenate([top, rows_i, bot], axis=1)
+
+    inter = rows[:, :, 1:-1]
+    gS = rows[:, :, :1]
+    gN = rows[:, :, -1:]
+    pad = jnp.zeros((C, rows.shape[1], W - ny - 2), dtype=arr.dtype)
+    return jnp.concatenate([inter, gN, pad, gS], axis=2)
+
+
 @lru_cache(maxsize=16)
 def _make_call(cfg, nx, ny, bs, dtype):
-    """The raw pallas_call on x-extended interior arrays."""
+    """The raw pallas_call; returns (call, extend_fn, reassemble_fn, fused)."""
     if not pallas_supported(cfg, ny):
-        raise ValueError("Pallas step requires fully periodic BCs, a static "
-                         "MacCormack pass order, and ny % 128 == 0")
+        raise ValueError("Pallas step does not cover this configuration "
+                         "(see pallas_supported)")
     if bs is None:
         bs = _auto_bs(nx, ny)
     bs = min(bs, nx)
@@ -205,6 +390,7 @@ def _make_call(cfg, nx, ny, bs, dtype):
     rows = bs + 2 * HALO_X
     d0, d1 = [(-1, 1), (1, -1)][(cfg.MC_order + 1) // 2]
     fused = _fused_applicable(cfg)
+    periodic = _fully_periodic(cfg)
 
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     common = dict(
@@ -214,6 +400,49 @@ def _make_call(cfg, nx, ny, bs, dtype):
         out_shape=jax.ShapeDtypeStruct((3, nx, ny), dtype),
         compiler_params=params,
     )
+
+    if fused and not periodic:
+        # boundary variant: explicit ghost rows/cols, refilled in-kernel
+        W = _pad_width(ny)
+        per_x = all(cfg.bc_edge(0)["P"])
+        kernel = partial(_kernel_fused_bc, cfg, bs, ny, grid[0], d0, d1)
+
+        def call(q_ext, stat_ext, dt):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                scratch_shapes=[
+                    pltpu.VMEM((3, rows, W), dtype),
+                    pltpu.VMEM((N_STATIC, rows, W), dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                **common,
+            )(dt, q_ext, stat_ext)
+
+        from ..core.step import apply_bcs
+
+        ext_step = _make_ext_from_interior(cfg, W, per_x)
+
+        def extend(arr):
+            # first extension of the ghost-inclusive input (exact ghosts)
+            return _extend_bc(arr, per_x, W)
+
+        def reassemble(q_like, q_int):
+            out = jnp.zeros_like(q_like).at[:, 1:-1, 1:-1].set(q_int)
+            return apply_bcs(out, cfg)
+
+        return call, extend, reassemble, fused, ext_step
+
+    def extend(arr):
+        return _extend_interior(arr[:, 1:-1, 1:-1])
+
+    def ext_step(q_int):
+        return _extend_interior(q_int)
+
+    def reassemble(q_like, q_int):
+        return _reassemble(q_like, q_int)
 
     if fused:
         kernel = partial(_kernel_fused, cfg, bs, d0, d1)
@@ -249,7 +478,7 @@ def _make_call(cfg, nx, ny, bs, dtype):
                 **common,
             )(dt, q_ext, topo_ext, extra_ext)
 
-    return call, fused
+    return call, extend, reassemble, fused, ext_step
 
 
 @lru_cache(maxsize=16)
@@ -259,26 +488,30 @@ def make_pallas_step(cfg, nx, ny, bs=None, dtype=jnp.float32):
     Matches :func:`gapflow_tpu.core.step.make_det_step` for periodic
     problems (minus residual/validity bookkeeping).
     """
-    call, fused = _make_call(cfg, nx, ny, bs, dtype)
+    call, extend, reassemble, fused, _ = _make_call(cfg, nx, ny, bs, dtype)
 
     @jax.jit
     def step(q, topo, extra, dt, step_idx):
         del step_idx
         q = q.astype(dtype)
         dt = jnp.asarray(dt, dtype)[None]
-        q_ext = _extend_interior(q[:, 1:-1, 1:-1])
+        q_ext = extend(q)
         if fused:
-            stats = precompute_statics(topo.astype(dtype)[:, 1:-1, 1:-1],
-                                       extra.astype(dtype)[:, 1:-1, 1:-1])
-            q_int = call(q_ext, _extend_interior(stats), dt)
+            stats = _statics_ghosted(topo.astype(dtype),
+                                     extra.astype(dtype))
+            q_int = call(q_ext, extend(stats), dt)
         else:
-            q_int = call(q_ext,
-                         _extend_interior(topo.astype(dtype)[:, 1:-1, 1:-1]),
-                         _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]),
-                         dt)
-        return _reassemble(q, q_int)
+            q_int = call(q_ext, extend(topo.astype(dtype)),
+                         extend(extra.astype(dtype)), dt)
+        return reassemble(q, q_int)
 
     return step
+
+
+def _statics_ghosted(topo, extra):
+    """precompute_statics on the full ghost-inclusive fields (the extension
+    functions strip/relocate ghosts themselves)."""
+    return precompute_statics(topo, extra)
 
 
 @lru_cache(maxsize=16)
@@ -290,25 +523,27 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32):
     stays in interior layout (one wrap-concat per step).  ``n_steps`` is
     static per compilation.
     """
-    call, fused = _make_call(cfg, nx, ny, bs, dtype)
+    call, extend, reassemble, fused, ext_step = \
+        _make_call(cfg, nx, ny, bs, dtype)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, topo, extra, dt, n_steps):
         q = q.astype(dtype)
         dt = jnp.asarray(dt, dtype)[None]
-        topo_i = topo.astype(dtype)[:, 1:-1, 1:-1]
-        extra_i = extra.astype(dtype)[:, 1:-1, 1:-1]
 
         if fused:
-            stat_ext = _extend_interior(precompute_statics(topo_i, extra_i))
+            stat_ext = extend(_statics_ghosted(topo.astype(dtype),
+                                               extra.astype(dtype)))
             args = (stat_ext,)
         else:
-            args = (_extend_interior(topo_i), _extend_interior(extra_i))
+            args = (extend(topo.astype(dtype)), extend(extra.astype(dtype)))
 
+        # interior-only carry: the per-step extension rebuilds halos and
+        # ghosts directly from the interior via the BC formulas
         def body(i, q_int):
-            return call(_extend_interior(q_int), *args, dt)
+            return call(ext_step(q_int), *args, dt)
 
         q_int = jax.lax.fori_loop(0, n_steps, body, q[:, 1:-1, 1:-1])
-        return _reassemble(q, q_int)
+        return reassemble(q, q_int)
 
     return loop

@@ -60,11 +60,48 @@ def test_pallas_step_matches_xla_interpret(monkeypatch):
     ref = np.asarray(det(state).q, dtype=np.float32)
 
     with pltpu.force_tpu_interpret_mode():
-        from gapflow_tpu.ops.stencil import make_pallas_step
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
         make_pallas_step.cache_clear()
+        _make_call.cache_clear()
         step = make_pallas_step(problem._solver_cfg, 32, 128, bs=16)
         out = np.asarray(step(state.q, state.topo, state.extra,
                               state.dt, 0))
         make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_bc_step_matches_xla_interpret():
+    """Boundary-capable kernel variant (D/N edges) in interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_bc = sim.replace(
+        """    Nx: 32
+    Ny: 128""",
+        """    Nx: 32
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007""")
+
+    problem = Problem.from_string(sim_bc)
+    problem._pre_run()
+    assert pallas_supported(problem._solver_cfg, problem.grid["Ny"])
+
+    state = problem._make_state()
+    det = make_det_step(problem._solver_cfg, with_aux=False)
+    ref = np.asarray(det(state).q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+        step = make_pallas_step(problem._solver_cfg, 32, 128, bs=16)
+        out = np.asarray(step(state.q, state.topo, state.extra,
+                              state.dt, 0))
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
 
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
