@@ -383,6 +383,9 @@ def _make_call(cfg, nx, ny, bs, dtype):
                          "(see pallas_supported)")
     if bs is None:
         bs = _auto_bs(nx, ny)
+    if not _fused_applicable(cfg):
+        # the generic physics path keeps ~3x more live VMEM temporaries
+        bs = min(bs, 16)
     bs = min(bs, nx)
     assert nx % bs == 0 and bs % 8 == 0, \
         "strip size must divide nx and align to 8"

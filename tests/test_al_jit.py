@@ -92,3 +92,39 @@ def test_full_jitted_al_loop():
     truth_vals = jax.vmap(truth)(Xtest)
     err = float(jnp.abs(mean - truth_vals).max())
     assert err < 0.2
+
+
+def test_al_loop_with_io_callback_oracle():
+    """External (host) MD oracle through io_callback inside the jitted loop."""
+    import numpy as onp
+    from jax.experimental import io_callback
+
+    params, X0, Y0, Xtest = _data()
+    yerr = 0.02
+
+    calls = []
+
+    def host_oracle(x):
+        # stands in for an external MD engine run on the host
+        x = onp.asarray(x)
+        calls.append(x.copy())
+        return onp.float64(onp.sin(4. * x[0]) + 0.3 * x[1])
+
+    def acquire(x):
+        return io_callback(host_oracle,
+                           jax.ShapeDtypeStruct((), Y0.dtype), x)
+
+    gp0 = al_jit.init(params, capacity=64, X0=X0, Y0=Y0, yerr=yerr)
+
+    @jax.jit
+    def run(gp):
+        return al_jit.active_learning_loop(
+            gp, Xtest, acquire, tol=1e-4, max_steps=6,
+            refit_every=3, refit_steps=10)
+
+    gp, mean, var = run(gp0)
+
+    assert int(gp.count) > 12          # the host oracle was consulted
+    assert len(calls) > 0
+    assert float(jnp.max(var)) < float(jnp.max(
+        al_jit.predict(gp0, Xtest)[1]))
