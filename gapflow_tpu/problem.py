@@ -343,6 +343,7 @@ class Problem:
         self.step = 0
         self.simtime = 0.
         self.residual = 1.
+        self._stop = False
         self.residual_buffer = deque([self.residual], 5)
 
         # GP-driven problems need pressure/stress fields before step 0
@@ -669,6 +670,12 @@ class Problem:
         state, (qs, times) = runner(self._make_state())
         state.q.block_until_ready()
 
+        if not bool(state.valid):
+            # the fused step rolled back to the last valid q and froze
+            print("Invalid state (NaN or negative density) detected during "
+                  "on-device stepping; stopping at the last valid state.")
+            self._stop = True
+
         self.q[...] = np.asarray(state.q)
         self.step = int(state.step)
         self.simtime = float(state.simtime)
@@ -756,6 +763,11 @@ class Problem:
         state = self._make_state()
         state = runner(state)
         state.q.block_until_ready()
+
+        if not bool(state.valid):
+            print("Invalid state (NaN or negative density) detected; "
+                  "stopped at the last valid state.")
+            self._stop = True
 
         self.q[...] = np.asarray(state.q)
         self.step = int(state.step)
