@@ -7,6 +7,10 @@ dependence of the wall stress from the mock oracle.
 Run: python examples/slip_1d_lj_mock.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import numpy as np
 from scipy.special import erf
 

@@ -7,6 +7,10 @@ active learning (batched Cholesky solves on the accelerator).
 Run: python examples/slip_2d_lj_mock.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 from gapflow_tpu.problem import Problem

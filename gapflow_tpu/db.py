@@ -221,9 +221,9 @@ class Database:
         if method == "rand":
             samples = _get_random_samples(subkey, Nsample, l_bounds, u_bounds)
         elif method == "lhc":
-            samples = _get_lhc_samples(Nsample, l_bounds, u_bounds)
+            samples = _get_lhc_samples(Nsample, l_bounds, u_bounds, seed)
         else:  # sobol
-            samples = _get_sobol_samples(Nsample, l_bounds, u_bounds)
+            samples = _get_sobol_samples(Nsample, l_bounds, u_bounds, seed)
             Nsample = samples.shape[0]
 
         key, subkey = jr.split(key)
@@ -262,14 +262,15 @@ def _get_random_samples(key, N, lo, hi):
                       minval=lo[None, :], maxval=hi[None, :])
 
 
-def _get_lhc_samples(N, lo, hi):
-    sampler = qmc.LatinHypercube(d=len(lo))
+def _get_lhc_samples(N, lo, hi, seed=None):
+    # seeded: DB initialization must be reproducible run-to-run
+    sampler = qmc.LatinHypercube(d=len(lo), seed=seed)
     return jnp.asarray(qmc.scale(sampler.random(n=N),
                                  np.asarray(lo), np.asarray(hi)))
 
 
-def _get_sobol_samples(N, lo, hi):
-    sampler = qmc.Sobol(d=len(lo))
+def _get_sobol_samples(N, lo, hi, seed=None):
+    sampler = qmc.Sobol(d=len(lo), seed=seed)
     m = int(np.log2(N))
     if 2 ** m != N:
         m = int(np.ceil(np.log2(N)))

@@ -77,7 +77,7 @@ def _fused_applicable(cfg):
 # Pass bodies
 # ---------------------------------------------------------------------------
 
-def _one_pass_generic(cfg, q, topo, extra, dt, d):
+def _one_pass_generic(cfg, q, topo, extra, dt, d, return_upd=False):
     """Generic MacCormack pass (any EOS/viscosity model)."""
     p, tau_bulk, s_lo, s_up = det_closures(cfg, q, topo, extra)
     FxH, FyH = hyperbolicFlux(q, p)
@@ -88,12 +88,18 @@ def _one_pass_generic(cfg, q, topo, extra, dt, d):
     flux_x = -d * (pltpu.roll(Fx, d % Fx.shape[1], axis=1) - Fx)
     flux_y = -d * (pltpu.roll(Fy, d % Fy.shape[2], axis=2) - Fy)
     src = source(q, topo, tau_bulk, s_lo, s_up)
-    return q - dt * (flux_x / cfg.dx + flux_y / cfg.dy - src)
+    upd = dt * (flux_x / cfg.dx + flux_y / cfg.dy - src)
+    if return_upd:
+        return upd
+    return q - upd
 
 
-def _one_pass_fused(cfg, q0, q1, q2, st, dt, d):
+def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False):
     """Newtonian hot path: factored closures + precomputed statics,
-    unstacked component updates."""
+    unstacked component updates.  ``return_upd`` returns the raw update
+    terms ``u`` (with ``q_new = q - u``) instead of the updated state —
+    used by the delta-emitting kernels, where the small ``u`` must not be
+    rounded into the large absolute state."""
     p = eos_pressure(q0, cfg.prop)
     tb_xx, tb_yy, tb_xy, S0, S1, S2 = fused_pass_top_pre(
         q0, q1, q2, st, cfg.U, cfg.V, cfg.shear, cfg.bulk)
@@ -107,10 +113,12 @@ def _one_pass_fused(cfg, q0, q1, q2, st, dt, d):
     def ddy(F):
         return -d * (pltpu.roll(F, d % F.shape[1], axis=1) - F) * rdy
 
-    q0n = q0 - dt * (ddx(q1) + ddy(q2) - S0)
-    q1n = q1 - dt * (ddx(p + tb_xx) + ddy(tb_xy) - S1)
-    q2n = q2 - dt * (ddx(tb_xy) + ddy(p + tb_yy) - S2)
-    return q0n, q1n, q2n
+    u0 = dt * (ddx(q1) + ddy(q2) - S0)
+    u1 = dt * (ddx(p + tb_xx) + ddy(tb_xy) - S1)
+    u2 = dt * (ddx(tb_xy) + ddy(p + tb_yy) - S2)
+    if return_upd:
+        return u0, u1, u2
+    return q0 - u0, q1 - u1, q2 - u2
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +192,7 @@ def _refill_ghosts(cfg, comps, bs, ny, i_strip, n_strips):
     return out
 
 
-def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1,
+def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
                      dt_ref, q_hbm, st_hbm, out_ref, q_loc, st_loc, sems):
     i = pl.program_id(0)
     x0 = pl.multiple_of(i * bs, 8)
@@ -205,19 +213,28 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1,
 
     comps = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
     comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
-    a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
 
     sl = slice(HALO_X, HALO_X + bs)
-    out_ref[0] = (a[sl, :ny] + q0_0[sl, :ny]) / 2.
-    out_ref[1] = (b[sl, :ny] + q1_0[sl, :ny]) / 2.
-    out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
+    if emit_delta:
+        # the refill touches ghost rows/cols only, so the interior slice of
+        # comps is still the Sterbenz-exact predictor state
+        u0, u1, u2 = _one_pass_fused(cfg, *comps, st, dt, d1,
+                                     return_upd=True)
+        out_ref[0] = ((comps[0][sl, :ny] - q0_0[sl, :ny]) - u0[sl, :ny]) / 2.
+        out_ref[1] = ((comps[1][sl, :ny] - q1_0[sl, :ny]) - u1[sl, :ny]) / 2.
+        out_ref[2] = ((comps[2][sl, :ny] - q2_0[sl, :ny]) - u2[sl, :ny]) / 2.
+    else:
+        a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
+        out_ref[0] = (a[sl, :ny] + q0_0[sl, :ny]) / 2.
+        out_ref[1] = (b[sl, :ny] + q1_0[sl, :ny]) / 2.
+        out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
 
 
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _kernel_fused(cfg, bs, d0, d1,
+def _kernel_fused(cfg, bs, d0, d1, emit_delta,
                   dt_ref, q_hbm, st_hbm, out_ref, q_loc, st_loc, sems):
     i = pl.program_id(0)
     x0 = pl.multiple_of(i * bs, 8)
@@ -237,15 +254,25 @@ def _kernel_fused(cfg, bs, d0, d1,
     q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
 
     a, b, c = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
-    a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
 
     sl = slice(HALO_X, HALO_X + bs)
-    out_ref[0] = (a[sl] + q0_0[sl]) / 2.
-    out_ref[1] = (b[sl] + q1_0[sl]) / 2.
-    out_ref[2] = (c[sl] + q2_0[sl]) / 2.
+    if emit_delta:
+        # emit the full-precision step increment Delta = ((q* - q) - u)/2
+        # (q* - q is exact by Sterbenz; u is the small pass-2 update), so
+        # sub-ulp-of-q increments survive for compensated accumulation
+        u0, u1, u2 = _one_pass_fused(cfg, a, b, c, st, dt, d1,
+                                     return_upd=True)
+        out_ref[0] = ((a[sl] - q0_0[sl]) - u0[sl]) / 2.
+        out_ref[1] = ((b[sl] - q1_0[sl]) - u1[sl]) / 2.
+        out_ref[2] = ((c[sl] - q2_0[sl]) - u2[sl]) / 2.
+    else:
+        a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+        out_ref[0] = (a[sl] + q0_0[sl]) / 2.
+        out_ref[1] = (b[sl] + q1_0[sl]) / 2.
+        out_ref[2] = (c[sl] + q2_0[sl]) / 2.
 
 
-def _kernel_generic(cfg, bs, d0, d1,
+def _kernel_generic(cfg, bs, d0, d1, emit_delta,
                     dt_ref, q_hbm, topo_hbm, extra_hbm, out_ref,
                     q_loc, topo_loc, extra_loc, sems):
     i = pl.program_id(0)
@@ -271,10 +298,14 @@ def _kernel_generic(cfg, bs, d0, d1,
     extra = extra_loc[:]
 
     q1 = _one_pass_generic(cfg, q0, topo, extra, dt, d0)
-    q2 = _one_pass_generic(cfg, q1, topo, extra, dt, d1)
 
-    out_ref[:] = (q2[:, HALO_X:HALO_X + bs, :]
-                  + q0[:, HALO_X:HALO_X + bs, :]) / 2.
+    sl = slice(HALO_X, HALO_X + bs)
+    if emit_delta:
+        u = _one_pass_generic(cfg, q1, topo, extra, dt, d1, return_upd=True)
+        out_ref[:] = ((q1[:, sl] - q0[:, sl]) - u[:, sl]) / 2.
+    else:
+        q2 = _one_pass_generic(cfg, q1, topo, extra, dt, d1)
+        out_ref[:] = (q2[:, sl, :] + q0[:, sl, :]) / 2.
 
 
 # ---------------------------------------------------------------------------
@@ -376,8 +407,12 @@ def _extend_bc(arr, per_x, W):
 
 
 @lru_cache(maxsize=16)
-def _make_call(cfg, nx, ny, bs, dtype):
-    """The raw pallas_call; returns (call, extend_fn, reassemble_fn, fused)."""
+def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
+    """The raw pallas_call; returns (call, extend_fn, reassemble_fn, fused).
+
+    ``emit_delta``: the kernel outputs the step increment (q_new - q)
+    computed at full relative precision instead of the absolute new state
+    (for compensated f32 accumulation in :func:`make_pallas_loop`)."""
     if not pallas_supported(cfg, ny):
         raise ValueError("Pallas step does not cover this configuration "
                          "(see pallas_supported)")
@@ -408,7 +443,8 @@ def _make_call(cfg, nx, ny, bs, dtype):
         # boundary variant: explicit ghost rows/cols, refilled in-kernel
         W = _pad_width(ny)
         per_x = all(cfg.bc_edge(0)["P"])
-        kernel = partial(_kernel_fused_bc, cfg, bs, ny, grid[0], d0, d1)
+        kernel = partial(_kernel_fused_bc, cfg, bs, ny, grid[0], d0, d1,
+                         emit_delta)
 
         def call(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -448,7 +484,7 @@ def _make_call(cfg, nx, ny, bs, dtype):
         return _reassemble(q_like, q_int)
 
     if fused:
-        kernel = partial(_kernel_fused, cfg, bs, d0, d1)
+        kernel = partial(_kernel_fused, cfg, bs, d0, d1, emit_delta)
 
         def call(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -464,7 +500,7 @@ def _make_call(cfg, nx, ny, bs, dtype):
                 **common,
             )(dt, q_ext, stat_ext)
     else:
-        kernel = partial(_kernel_generic, cfg, bs, d0, d1)
+        kernel = partial(_kernel_generic, cfg, bs, d0, d1, emit_delta)
 
         def call(q_ext, topo_ext, extra_ext, dt):
             n_extra = extra_ext.shape[0]
@@ -518,16 +554,28 @@ def _statics_ghosted(topo, extra):
 
 
 @lru_cache(maxsize=16)
-def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32):
+def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
+                     compensated=False):
     """n-step driver around the fused kernel with statics hoisted.
 
     ``loop(q, topo, extra, dt, n_steps) -> q`` on ghost-inclusive arrays:
     static-field extension and precomputation happen once; between steps q
     stays in interior layout (one wrap-concat per step).  ``n_steps`` is
     static per compilation.
+
+    ``compensated=True`` enables Kahan-compensated time accumulation: the
+    kernel emits the step increment at full relative precision (instead of
+    the absolute new state) and the carry holds ``(q, q_lo)`` so increments
+    smaller than one ulp of q accumulate in the compensation term instead
+    of being rounded away.  Essential for float32 production runs with
+    absolute density ~1e3 and small dt: the stiff viscous source at the
+    minimum gap requires ``6 nu dt / h_min^2 << 1`` for an unbiased
+    MacCormack steady state, and the corresponding per-step increments
+    underflow plain f32 updates — see examples/validate_f32_production.py.
+    Costs four elementwise adds per step outside the kernel.
     """
     call, extend, reassemble, fused, ext_step = \
-        _make_call(cfg, nx, ny, bs, dtype)
+        _make_call(cfg, nx, ny, bs, dtype, compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, topo, extra, dt, n_steps):
@@ -543,10 +591,24 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32):
 
         # interior-only carry: the per-step extension rebuilds halos and
         # ghosts directly from the interior via the BC formulas
-        def body(i, q_int):
-            return call(ext_step(q_int), *args, dt)
+        if compensated:
+            def body(i, carry):
+                q_int, q_lo = carry
+                # the kernel emits the increment directly (emit_delta) so
+                # sub-ulp-of-q updates reach the Kahan two-sum un-rounded
+                delta = call(ext_step(q_int), *args, dt)
+                y = delta + q_lo
+                t = q_int + y
+                return t, y - (t - q_int)
 
-        q_int = jax.lax.fori_loop(0, n_steps, body, q[:, 1:-1, 1:-1])
+            q0 = q[:, 1:-1, 1:-1]
+            q_int, _ = jax.lax.fori_loop(0, n_steps, body,
+                                         (q0, jnp.zeros_like(q0)))
+        else:
+            def body(i, q_int):
+                return call(ext_step(q_int), *args, dt)
+
+            q_int = jax.lax.fori_loop(0, n_steps, body, q[:, 1:-1, 1:-1])
         return reassemble(q, q_int)
 
     return loop

@@ -687,12 +687,14 @@ class Problem:
              if np.isfinite(r)], 5)
         return np.asarray(qs), np.asarray(times)
 
-    def run_steps_fast(self, n, dtype=None):
+    def run_steps_fast(self, n, dtype=None, compensated=True):
         """Advance ``n`` fixed-dt steps through the fused Pallas kernel.
 
         Float32, periodic-BC production path (falls back to
         :meth:`run_steps` when the kernel does not cover the problem).
-        Tracks no residuals; syncs q afterwards.
+        Tracks no residuals; syncs q afterwards.  ``compensated`` enables
+        Kahan accumulation of the per-step increments, required for small
+        fixed dt in float32 (see ops.stencil.make_pallas_loop).
         """
         from .ops import make_pallas_loop, pallas_supported
         import jax.numpy as _jnp
@@ -711,7 +713,8 @@ class Problem:
             return
 
         loop = make_pallas_loop(self._solver_cfg, self.grid["Nx"], ny,
-                                dtype=dtype or _jnp.float32)
+                                dtype=dtype or _jnp.float32,
+                                compensated=compensated)
         q = loop(jnp.asarray(self.q), jnp.asarray(self.topo.full),
                  jnp.asarray(self.fc.get_real_field("extra").p),
                  jnp.asarray(self.dt), n)

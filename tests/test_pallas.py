@@ -105,3 +105,40 @@ def test_pallas_bc_step_matches_xla_interpret():
         _make_call.cache_clear()
 
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_compensated_loop_matches_plain():
+    """The delta-emitting kernel + Kahan carry reproduces the plain loop.
+
+    In f64 the two formulations agree to rounding (~1e-11 relative); in f32
+    they are distinct rounding paths through a stiff transient, so only a
+    loose agreement is meaningful (the compensated path is the *more*
+    accurate one — see examples/validate_f32_production.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_loop, _make_call
+        make_pallas_loop.cache_clear()
+        _make_call.cache_clear()
+        args = (state.q, state.topo, state.extra, state.dt)
+        outs = {}
+        for dt_ in (jnp.float64, jnp.float32):
+            plain = make_pallas_loop(problem._solver_cfg, 32, 128, bs=16,
+                                     dtype=dt_)
+            comp = make_pallas_loop(problem._solver_cfg, 32, 128, bs=16,
+                                    dtype=dt_, compensated=True)
+            outs[dt_] = (np.asarray(plain(*args, 5)),
+                         np.asarray(comp(*args, 5)))
+        make_pallas_loop.cache_clear()
+        _make_call.cache_clear()
+
+    out_p, out_c = outs[jnp.float64]
+    np.testing.assert_allclose(out_c, out_p, rtol=1e-9, atol=1e-9)
+
+    out_p, out_c = outs[jnp.float32]
+    assert np.all(np.isfinite(out_c))
+    np.testing.assert_allclose(out_c, out_p, rtol=5e-3, atol=1e-6)
