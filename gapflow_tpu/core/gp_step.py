@@ -42,9 +42,8 @@ def _gp_mean(params, X_fit, alpha, Xtest):
     return (Ks.T @ alpha).T
 
 
-@lru_cache(maxsize=16)
-def make_gp_step(cfg, active_dims, num_features, use_gp):
-    """Build the fused GP-closed timestep.
+def make_gp_step_core(cfg, active_dims, num_features, use_gp):
+    """Unjitted GP-closed timestep builder (shared with the AL loop).
 
     active_dims: (dims_z, dims_x, dims_y) tuples (None when that surrogate
     is deterministic); use_gp: (z, x, y) booleans; num_features: feature
@@ -53,7 +52,9 @@ def make_gp_step(cfg, active_dims, num_features, use_gp):
     Returns ``step(q, topo, extra, dt, step_idx, gp_state) -> (q, p_last)``
     where gp_state is a dict with, per active surrogate k in {z, x, y}:
     ``params_k``, ``Xfit_k``, ``alpha_k``, ``Xscale`` (full feature scale),
-    ``Yscale_k``.
+    ``Yscale_k``.  ``Xfit_k``/``alpha_k`` may be fixed-capacity padded
+    buffers (gapflow_tpu.models.al_jit) — padded alpha rows are zero, so
+    the means are exact without masking.
     """
     dims_z, dims_x, dims_y = active_dims
     gpz, gpx, gpy = use_gp
@@ -124,4 +125,10 @@ def make_gp_step(cfg, active_dims, num_features, use_gp):
         q = apply_bcs(q, cfg)
         return q, p_last
 
-    return jax.jit(step)
+    return step
+
+
+@lru_cache(maxsize=16)
+def make_gp_step(cfg, active_dims, num_features, use_gp):
+    """Jitted fused GP-closed timestep (see :func:`make_gp_step_core`)."""
+    return jax.jit(make_gp_step_core(cfg, active_dims, num_features, use_gp))

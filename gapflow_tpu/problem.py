@@ -722,6 +722,39 @@ class Problem:
         self.step += n
         self.simtime += n * self.dt
 
+    def run_steps_gp_device(self, n, capacity=64, refit_steps=40):
+        """Advance ``n`` fixed-dt GP-surrogate steps fully on-device,
+        INCLUDING active learning.
+
+        The whole run — GP predictions, variance-tolerance checks,
+        argmax-variance acquisition (MD oracle via io_callback, database
+        and dtool packaging unchanged), O(n^2) training-set growth and
+        fixed-budget hyperparameter refits — compiles to one XLA program
+        (core/al_loop.py).  ``capacity`` bounds the training-set size
+        (static shapes); acquisition stops when full.
+
+        Requires a runtime with host-callback support (CPU and
+        directly-attached TPU; tunneled/proxied PJRT backends may not
+        implement host send/recv and raise UNIMPLEMENTED).
+        """
+        from .core.al_loop import (make_gp_al_loop, init_gp_states,
+                                   sync_host)
+
+        if not self.has_gp_model:
+            raise RuntimeError("run_steps_gp_device requires GP surrogates")
+        if self.step is None:
+            self._pre_run()
+        if self.numerics["adaptive"]:
+            raise RuntimeError("run_steps_gp_device uses a fixed dt")
+
+        loop = make_gp_al_loop(self, refit_steps=refit_steps)
+        gps, pauses = init_gp_states(self, capacity=capacity)
+        q, gps, pauses, n_acq = loop(jnp.asarray(self.q), gps, pauses,
+                                     jnp.asarray(self.step, jnp.int32),
+                                     jnp.asarray(self.dt), n)
+        sync_host(self, q, gps, pauses, n)
+        return int(n_acq)
+
     def run_steps_sharded(self, n, mesh=None):
         """Advance ``n`` fixed-dt steps sharded over a 2D device mesh.
 
