@@ -1,14 +1,19 @@
-// nanomd: a minimal molecular-dynamics engine for confined Lennard-Jones
-// fluids between solid walls.
+// nanomd: a minimal molecular-dynamics engine for confined fluids
+// between solid walls.
 //
 // Purpose-built native oracle for the gapflow-tpu multiscale loop,
 // replacing the vendored LAMMPS build of the reference
 // (reference CMakeLists.txt:11-30, GaPFlow/md/runner.py:68-74) for the
-// feature subset the framework exercises (examples/lmp/lj/in.lmp):
+// feature subset the framework exercises (examples/lmp/lj/in.lmp and
+// examples/lmp/mol/static/*):
 //
-//   - LJ pair potential, shifted at cutoff, per-type-pair mixing
-//   - wall slabs read from a LAMMPS-style 'atomic' data file, frozen
-//     outer layers, Langevin-thermostatted inner layers
+//   - LJ pair potential, shifted at cutoff, per-type-pair coefficients
+//   - molecular systems (TraPPE-UA alkanes between gold walls): LAMMPS
+//     'full'-style data files with harmonic bonds/angles, OPLS dihedrals,
+//     1-2/1-3/1-4 pair exclusions (special_bonds lj 0 0 0), real units
+//   - wall slabs read from a LAMMPS-style data file, frozen outer
+//     layers, Langevin-thermostatted inner layers; gap squeezing to the
+//     target height during equilibration (reference in.run.equil.lmp)
 //   - fluid created at a target density inside the gap
 //   - Gaussian-dynamics flux control (LAMMPS fix flow/gauss equivalent):
 //     the net force on the fluid group is zeroed each step so the center-
@@ -23,6 +28,7 @@
 // Implementation: cell-list neighbor search with Verlet skin, velocity
 // Verlet integration, xorshift RNG, OpenMP-parallel force loop.
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -114,7 +120,11 @@ public:
                 return run_file(f);
             } else if (word == "log") {
                 ss >> logfile_;
-            } else if (word == "units" || word == "dimension" ||
+            } else if (word == "units") {
+                std::string sys;
+                ss >> sys;
+                set_units(sys);
+            } else if (word == "dimension" ||
                        word == "boundary" || word == "pair_style" ||
                        word == "pair_modify" || word == "thermo" ||
                        word == "thermo_style" || word == "thermo_modify" ||
@@ -124,11 +134,16 @@ public:
             } else if (word == "workload") {
                 std::string kind;
                 ss >> kind;
-                if (kind != "confined_lj") {
+                if (kind == "confined_lj") {
+                    build_confined_lj();
+                } else if (kind == "confined_mol") {
+                    build_confined_mol();
+                } else if (kind == "selftest_bonded") {
+                    selftest_bonded();
+                } else {
                     error_ = "unknown workload: " + kind;
                     return 1;
                 }
-                build_confined_lj();
             } else if (word == "run_all") {
                 run_all();
             } else if (word == "run") {
@@ -157,6 +172,9 @@ public:
     // ------------------------------------------------------------------
 
     void build_confined_lj() {
+        set_units("lj");
+        set_ntypes(2);
+        bonds_.clear(); angles_.clear(); dihedrals_.clear(); excl_.clear();
         cutoff_ = getvar("cutoff", 2.5);
         temp_ = getvar("temp", 1.0);
         dt_ = getvar("dt", 0.005);
@@ -292,6 +310,194 @@ public:
                std::to_string(Lz_));
     }
 
+    void build_confined_mol() {
+        // Confined molecular system (gold walls + TraPPE-UA alkanes) from a
+        // LAMMPS 'full'-style data file written by gapflow_tpu.md.molbuild.
+        // Reference protocol: examples/lmp/mol/static/in.settings.lmp +
+        // in.run.*.lmp (frozen outer layers, thermalized bands, gap squeeze
+        // to the target height during equilibration).
+        set_units("real");
+        cutoff_ = getvar("cutoff", 11.);
+        temp_ = getvar("input_temp", 300.);
+        dt_ = getvar("dt", 1.0);
+
+        const double target_gap = getvar("input_gap", 50.);
+
+        std::string datafile = getstr("datafile", "system.data");
+        read_molecular_data(datafile);
+
+        // classify: type 0 (au) = wall, everything else = fluid
+        // (the builder writes wall atoms first: lower slab, upper slab)
+        double wall_mid = 0.5 * Lz_;
+        double lo_zmin = 1e30, lo_zmax = -1e30;
+        double hi_zmin = 1e30, hi_zmax = -1e30;
+        n_wall_ = 0;
+        for (size_t i = 0; i < n_; ++i) {
+            if (type_[i] != 0) break;  // contiguous wall prefix
+            ++n_wall_;
+            if (x_[i].z < wall_mid) {
+                lo_zmin = std::min(lo_zmin, x_[i].z);
+                lo_zmax = std::max(lo_zmax, x_[i].z);
+            } else {
+                hi_zmin = std::min(hi_zmin, x_[i].z);
+                hi_zmax = std::max(hi_zmax, x_[i].z);
+            }
+        }
+        n_fluid_ = n_ - n_wall_;
+        if (n_wall_ == 0 || n_fluid_ == 0)
+            throw std::runtime_error("confined_mol: missing wall or fluid");
+
+        const double layer = getvar("wall_layer", 2.4);
+        const double lo_thermal = (lo_zmax - lo_zmin - layer) / 2.;
+        group_.assign(n_, FLUID);
+        for (size_t i = 0; i < n_wall_; ++i) {
+            if (x_[i].z < wall_mid) {
+                double zl = x_[i].z - lo_zmin;
+                if (zl < layer) group_[i] = WALL_LO_FROZEN;
+                else if (zl < layer + lo_thermal) group_[i] = WALL_LO_THERM;
+                else group_[i] = WALL_LO_CORE;
+            } else {
+                double zl = hi_zmax - x_[i].z;
+                if (zl < layer) group_[i] = WALL_HI_FROZEN;
+                else if (zl < layer + lo_thermal) group_[i] = WALL_HI_THERM;
+                else group_[i] = WALL_HI_CORE;
+            }
+        }
+
+        // gap squeeze: move the upper slab down from its inflated build
+        // position to the target gap during equilibration
+        const double gap0 = hi_zmin - lo_zmax;
+        // squeeze speed default 5e-4 A/fs (= 50 m/s): slow enough that the
+        // wall thermostats carry the compression heat away
+        const double vsq = getvar("squeeze_speed", 5e-4);
+        double tsq = getvar("tsqueeze", 0.);
+        if (tsq <= 0.)
+            tsq = std::ceil(std::max(gap0 - target_gap, 0.) / (vsq * dt_));
+        squeeze_steps_ = (long)tsq;
+        squeeze_vz_ = squeeze_steps_ > 0
+                          ? (gap0 - target_gap) / (squeeze_steps_ * dt_)
+                          : 0.;
+        equil_extra_ = squeeze_steps_;
+
+        // Maxwell-Boltzmann fluid velocities, zero net momentum
+        std::normal_distribution<double> nd(0., 1.);
+        Vec3 psum{};
+        double msum = 0.;
+        for (size_t i = n_wall_; i < n_; ++i) {
+            double s = std::sqrt(kB_ * temp_ / (mass_[i] * mvv2e_));
+            v_[i] = {s * nd(rng_), s * nd(rng_), s * nd(rng_)};
+            psum.x += mass_[i] * v_[i].x;
+            psum.y += mass_[i] * v_[i].y;
+            psum.z += mass_[i] * v_[i].z;
+            msum += mass_[i];
+        }
+        for (size_t i = n_wall_; i < n_; ++i) {
+            v_[i].x -= psum.x / msum;
+            v_[i].y -= psum.y / msum;
+            v_[i].z -= psum.z / msum;
+        }
+
+        gap_ = target_gap;
+        bin_z0_ = lo_zmax;
+        bin_dz_ = target_gap / std::max((long)getvar("nbinz", 50), 1L);
+        lo_face_ = lo_zmax + 1.5;
+        hi_face_ = hi_zmin - 1.5;
+        reflect_faces_ = true;
+        fluid_mass_ = msum;
+        built_ = true;
+        neigh_valid_ = false;
+
+        logmsg("nanomd: built confined molecular system: " +
+               std::to_string(n_) + " atoms (" + std::to_string(n_fluid_) +
+               " fluid), " + std::to_string(bonds_.size()) + " bonds, " +
+               std::to_string(angles_.size()) + " angles, " +
+               std::to_string(dihedrals_.size()) + " dihedrals, gap " +
+               std::to_string(gap0) + " -> " + std::to_string(target_gap));
+    }
+
+    // finite-difference validation of the bonded forces (workload
+    // selftest_bonded): builds a random 6-site chain, compares analytic
+    // forces with the numerical gradient of pe_, stores the max error in
+    // the 'selftest_err' variable
+    void selftest_bonded() {
+        set_units("real");
+        cutoff_ = 11.;
+        set_ntypes(2);
+        set_pair(0, 0, 0.1, 3.9);
+        set_pair(1, 1, 0.2, 3.7);
+        set_pair(0, 1, 0.15, 3.8);
+
+        Lx_ = Ly_ = Lz_ = 200.;
+        const int nsite = 6;
+        x_.clear(); v_.clear(); f_.clear();
+        mass_.clear(); type_.clear(); group_.clear();
+        std::uniform_real_distribution<double> u(-0.4, 0.4);
+        for (int i = 0; i < nsite; ++i) {
+            x_.push_back({100. + 1.25 * i + u(rng_), 100. + u(rng_),
+                          100. + 0.8 * (i % 2) + u(rng_)});
+            v_.push_back({});
+            f_.push_back({});
+            mass_.push_back(14.);
+            type_.push_back(i % 2);
+            group_.push_back(FLUID);
+        }
+        n_ = nsite; n_wall_ = 0; n_fluid_ = nsite;
+
+        bonds_.clear(); angles_.clear(); dihedrals_.clear();
+        bond_coeff_ = {{120., 1.54}};
+        angle_coeff_ = {{62.0022, 114. * M_PI / 180.}};
+        dihedral_coeff_ = {{1.411036, -0.271016, 3.145034, 0.}};
+        if (getvar("st_bonds", 1.) != 0.)
+            for (int i = 0; i + 1 < nsite; ++i) bonds_.push_back({i, i + 1, 0});
+        if (getvar("st_angles", 1.) != 0.)
+            for (int i = 0; i + 2 < nsite; ++i)
+                angles_.push_back({i, i + 1, i + 2, 0});
+        if (getvar("st_dihedrals", 1.) != 0.)
+            for (int i = 0; i + 3 < nsite; ++i)
+                dihedrals_.push_back({i, i + 1, i + 2, i + 3, 0});
+        if (getvar("st_pairs", 1.) == 0.)
+            pairs_.assign(pairs_.size(), {});
+        {   // exclusions always from the full chain topology
+            std::vector<Bond> all_bonds;
+            for (int i = 0; i + 1 < nsite; ++i) all_bonds.push_back({i, i + 1, 0});
+            std::swap(bonds_, all_bonds);
+            build_exclusions();
+            std::swap(bonds_, all_bonds);
+        }
+
+        built_ = true;
+        neigh_valid_ = false;
+        compute_forces();
+        std::vector<Vec3> f0 = f_;
+
+        const double h = 1e-6;
+        double maxerr = 0.;
+        for (int i = 0; i < nsite; ++i) {
+            double* comps[3] = {&x_[i].x, &x_[i].y, &x_[i].z};
+            double fan[3] = {f0[i].x, f0[i].y, f0[i].z};
+            for (int c = 0; c < 3; ++c) {
+                double orig = *comps[c];
+                *comps[c] = orig + h;
+                neigh_valid_ = false;
+                compute_forces();
+                double ep = pe_;
+                *comps[c] = orig - h;
+                neigh_valid_ = false;
+                compute_forces();
+                double em = pe_;
+                *comps[c] = orig;
+                double fnum = -(ep - em) / (2. * h);
+                maxerr = std::max(maxerr, std::fabs(fnum - fan[c]));
+            }
+        }
+        neigh_valid_ = false;
+        compute_forces();
+        vars_["selftest_err"] = maxerr;
+        logmsg("nanomd: bonded selftest max |F_fd - F_analytic| = " +
+               std::to_string(maxerr));
+        built_ = false;  // selftest system is not runnable
+    }
+
     // ------------------------------------------------------------------
     // Staged execution
     // ------------------------------------------------------------------
@@ -304,7 +510,7 @@ public:
             ke += 0.5 * mass_[i] *
                   (v_[i].x * v_[i].x + v_[i].y * v_[i].y + v_[i].z * v_[i].z);
         }
-        double t = n_fluid_ ? 2. * ke / (3. * n_fluid_) : 0.;
+        double t = n_fluid_ ? 2. * ke * mvv2e_ / (3. * n_fluid_ * kB_) : 0.;
         char buf[256];
         snprintf(buf, sizeof buf,
                  "%s: step=%ld T=%.3f fluid z=[%.2f, %.2f] "
@@ -316,12 +522,14 @@ public:
 
     void run_all() {
         if (!built_) build_confined_lj();
+        // mol systems: keep squeezing through stage 1 (set by the builder)
 
-        const long tinit = (long)getvar("tinit", 5000);
+        const long tinit = (long)getvar("tinit", 5000) + equil_extra_;
         const long ttherm = (long)getvar("ttherm", 5000);
         const long tsample = (long)getvar("tsample", 20000);
 
         // stage 1: limited-displacement equilibration with Berendsen
+        // (extended to cover the gap squeeze for molecular systems)
         status("pre-equil");
         integrate(tinit, /*limit=*/0.1, /*berendsen=*/true, /*sample=*/false);
         status("post-equil");
@@ -349,10 +557,11 @@ public:
         }
 
         flux_control_ = true;
-        integrate(ttherm, -1., false, false);
+        integrate(ttherm, -1., getvar("equil_berendsen", 0.) != 0., false);
         status("post-therm");
 
-        // stage 3: sampling
+        // stage 3: sampling (no scaffolding -- pure LJ wall forces)
+        reflect_faces_ = false;
         step_ = 0;
         open_sample_file();
         open_thermo();
@@ -372,7 +581,8 @@ public:
 
     static bool has_package(const std::string& p) {
         // genuinely implemented capability groups
-        return p == "LJ" || p == "EXTRA-FIX" || p == "WALLS";
+        return p == "LJ" || p == "EXTRA-FIX" || p == "WALLS" ||
+               p == "MOLECULE";
     }
 
     long natoms() const { return (long)n_; }
@@ -405,6 +615,7 @@ public:
         if (name == "step") return (double)step_;
         if (name == "temp") return temp_;
         if (name == "cutoff") return cutoff_;
+        if (name == "pe") return pe_;
         return getvar(name, 0.);
     }
 
@@ -586,23 +797,191 @@ private:
         }
     }
 
+    // -- molecular data file (atom_style full) -------------------------------
+    void read_molecular_data(const std::string& path) {
+        std::ifstream in(path);
+        if (!in) throw std::runtime_error("cannot open data file: " + path);
+
+        long natoms = 0, nbonds = 0, nangles = 0, ndihedrals = 0;
+        int ntypes = 0, nbt = 0, nat = 0, ndt = 0;
+        double xlo = 0, xhi = 0, ylo = 0, yhi = 0, zlo = 0, zhi = 0;
+        std::vector<double> type_mass;
+
+        x_.clear(); v_.clear(); f_.clear();
+        mass_.clear(); type_.clear(); group_.clear();
+        bonds_.clear(); angles_.clear(); dihedrals_.clear();
+
+        enum Section { NONE, MASSES, PAIRIJ, BONDC, ANGLEC, DIHEDC,
+                       ATOMS, BONDS, ANGLES, DIHEDRALS } sec = NONE;
+        std::string line;
+        std::getline(in, line);  // header comment
+        std::vector<std::array<double, 7>> atom_rows;
+
+        while (std::getline(in, line)) {
+            std::string t = trim(strip_comment(line));
+            if (t.empty()) continue;
+
+            if (t.rfind("Masses", 0) == 0) { sec = MASSES; continue; }
+            if (t.rfind("PairIJ Coeffs", 0) == 0) { sec = PAIRIJ; continue; }
+            if (t.rfind("Bond Coeffs", 0) == 0) { sec = BONDC; continue; }
+            if (t.rfind("Angle Coeffs", 0) == 0) { sec = ANGLEC; continue; }
+            if (t.rfind("Dihedral Coeffs", 0) == 0) { sec = DIHEDC; continue; }
+            if (t.rfind("Atoms", 0) == 0) { sec = ATOMS; continue; }
+            if (t.rfind("Bonds", 0) == 0) { sec = BONDS; continue; }
+            if (t.rfind("Angles", 0) == 0) { sec = ANGLES; continue; }
+            if (t.rfind("Dihedrals", 0) == 0) { sec = DIHEDRALS; continue; }
+
+            std::istringstream ss(t);
+            if (sec == NONE) {
+                if (t.find("atoms") != std::string::npos) ss >> natoms;
+                else if (t.find("bond types") != std::string::npos) ss >> nbt;
+                else if (t.find("angle types") != std::string::npos) ss >> nat;
+                else if (t.find("dihedral types") != std::string::npos) ss >> ndt;
+                else if (t.find("atom types") != std::string::npos) ss >> ntypes;
+                else if (t.find("bonds") != std::string::npos) ss >> nbonds;
+                else if (t.find("angles") != std::string::npos) ss >> nangles;
+                else if (t.find("dihedrals") != std::string::npos) ss >> ndihedrals;
+                else if (t.find("xlo xhi") != std::string::npos) ss >> xlo >> xhi;
+                else if (t.find("ylo yhi") != std::string::npos) ss >> ylo >> yhi;
+                else if (t.find("zlo zhi") != std::string::npos) ss >> zlo >> zhi;
+                if (ntypes && pairs_.size() != (size_t)ntypes * ntypes) {
+                    set_ntypes(ntypes);
+                    type_mass.assign(ntypes, 1.);
+                    bond_coeff_.assign(std::max(nbt, 1), {});
+                    angle_coeff_.assign(std::max(nat, 1), {});
+                    dihedral_coeff_.assign(std::max(ndt, 1), {});
+                }
+            } else if (sec == MASSES) {
+                int ty; double m;
+                ss >> ty >> m;
+                type_mass[ty - 1] = m;
+            } else if (sec == PAIRIJ) {
+                int ti, tj; double eps, sig;
+                ss >> ti >> tj >> eps >> sig;
+                set_pair(ti - 1, tj - 1, eps, sig);
+            } else if (sec == BONDC) {
+                int ty; double K, r0;
+                ss >> ty >> K >> r0;
+                bond_coeff_[ty - 1] = {K, r0};
+            } else if (sec == ANGLEC) {
+                int ty; double K, th0;
+                ss >> ty >> K >> th0;
+                angle_coeff_[ty - 1] = {K, th0 * M_PI / 180.};
+            } else if (sec == DIHEDC) {
+                int ty; double k1, k2, k3, k4;
+                ss >> ty >> k1 >> k2 >> k3 >> k4;
+                dihedral_coeff_[ty - 1] = {k1, k2, k3, k4};
+            } else if (sec == ATOMS) {
+                // id mol type q x y z  (ids 1..N, written in order)
+                double id, mol, ty, q, px, py, pz;
+                ss >> id >> mol >> ty >> q >> px >> py >> pz;
+                atom_rows.push_back({id, mol, ty, q, px, py, pz});
+            } else if (sec == BONDS) {
+                long id; int ty, a, b;
+                ss >> id >> ty >> a >> b;
+                bonds_.push_back({a - 1, b - 1, ty - 1});
+            } else if (sec == ANGLES) {
+                long id; int ty, a, b, c;
+                ss >> id >> ty >> a >> b >> c;
+                angles_.push_back({a - 1, b - 1, c - 1, ty - 1});
+            } else if (sec == DIHEDRALS) {
+                long id; int ty, a, b, c, d;
+                ss >> id >> ty >> a >> b >> c >> d;
+                dihedrals_.push_back({a - 1, b - 1, c - 1, d - 1, ty - 1});
+            }
+        }
+
+        if ((long)atom_rows.size() != natoms)
+            throw std::runtime_error("data file: atom count mismatch");
+
+        // place atoms at their id position (ids are 1..N)
+        x_.assign(natoms, {});
+        v_.assign(natoms, {});
+        f_.assign(natoms, {});
+        type_.assign(natoms, 0);
+        mass_.assign(natoms, 1.);
+        for (const auto& r : atom_rows) {
+            long i = (long)r[0] - 1;
+            type_[i] = (int)r[2] - 1;
+            mass_[i] = type_mass[type_[i]];
+            x_[i] = {r[4] - xlo, r[5] - ylo, r[6] - zlo};
+        }
+        n_ = natoms;
+        Lx_ = xhi - xlo;
+        Ly_ = yhi - ylo;
+        Lz_ = zhi - zlo;
+
+        build_exclusions();
+    }
+
+    void build_exclusions() {
+        // 1-2, 1-3 and 1-4 neighbors along the bond graph
+        // (special_bonds lj 0.0 0.0 0.0 in the reference init)
+        std::vector<std::vector<int>> adj(n_);
+        for (const Bond& b : bonds_) {
+            adj[b.a].push_back(b.b);
+            adj[b.b].push_back(b.a);
+        }
+        excl_.assign(n_, {});
+        for (size_t i = 0; i < n_; ++i) {
+            std::vector<int> seen = {(int)i};
+            std::vector<int> frontier = {(int)i};
+            for (int depth = 0; depth < 3; ++depth) {
+                std::vector<int> nxt;
+                for (int a : frontier)
+                    for (int b : adj[a]) {
+                        bool have = false;
+                        for (int s : seen)
+                            if (s == b) { have = true; break; }
+                        if (!have) {
+                            seen.push_back(b);
+                            nxt.push_back(b);
+                            excl_[i].push_back(b);
+                        }
+                    }
+                frontier.swap(nxt);
+            }
+        }
+        bool any = false;
+        for (const auto& e : excl_)
+            if (!e.empty()) { any = true; break; }
+        if (!any) excl_.clear();
+    }
+
     // -- pair interactions --------------------------------------------------
+    void set_ntypes(int n) {
+        ntypes_ = n;
+        pairs_.assign((size_t)n * n, {});
+    }
+
     void set_pair(int ti, int tj, double eps, double sig) {
+        // reference uses one global cutoff (2.5 sigma LJ / 11 A real) for
+        // all pairs
         double s6 = std::pow(sig, 6);
-        double c2 = cutoff_ * cutoff_ * sig * sig / (sigWW_ * 0 + 1.);
-        // cutoff in units of sigma? reference uses global cutoff 2.5 (in
-        // fluid sigma units) for all pairs
-        (void)c2;
         double rc = cutoff_;
         double rc6 = std::pow(rc, 6);
         double shift = 4. * eps * (s6 * s6 / (rc6 * rc6) - s6 / rc6);
-        pair_[ti][tj] = pair_[tj][ti] = {4. * eps * s6 * s6, 4. * eps * s6,
-                                         rc * rc, shift};
+        pairs_[(size_t)ti * ntypes_ + tj] =
+            pairs_[(size_t)tj * ntypes_ + ti] =
+                {4. * eps * s6 * s6, 4. * eps * s6, rc * rc, shift};
     }
 
     struct PairCoeff {
         double c12 = 0, c6 = 0, rc2 = 0, shift = 0;
     };
+
+    void set_units(const std::string& sys) {
+        if (sys == "real") {
+            // LAMMPS 'real' constants: kcal/mol, g/mol, Angstrom, fs, K
+            mvv2e_ = 48.88821291 * 48.88821291;
+            ftm2v_ = 1. / mvv2e_;
+            kB_ = 0.0019872067;
+        } else {  // lj
+            mvv2e_ = 1.;
+            ftm2v_ = 1.;
+            kB_ = 1.;
+        }
+    }
 
     // -- neighbor lists -----------------------------------------------------
     void build_cells() {
@@ -661,12 +1040,126 @@ private:
     }
 
     // -- force computation --------------------------------------------------
+    // -- bonded interactions (TraPPE-UA alkanes) ------------------------
+    inline Vec3 delta(int i, int j) const {
+        // r_i - r_j with x/y minimum image (z is non-periodic)
+        return {mix(x_[i].x - x_[j].x, Lx_), mix(x_[i].y - x_[j].y, Ly_),
+                x_[i].z - x_[j].z};
+    }
+
+    void compute_bonded() {
+        if (bonds_.empty() && angles_.empty() && dihedrals_.empty()) return;
+
+        // harmonic bonds: E = K (r - r0)^2
+        for (const Bond& b : bonds_) {
+            const auto& c = bond_coeff_[b.t];
+            Vec3 d = delta(b.a, b.b);
+            double r = std::sqrt(d.x * d.x + d.y * d.y + d.z * d.z);
+            double dr = r - c[1];
+            pe_ += c[0] * dr * dr;
+            double fb = r > 1e-12 ? -2. * c[0] * dr / r : 0.;
+            f_[b.a].x += fb * d.x; f_[b.a].y += fb * d.y; f_[b.a].z += fb * d.z;
+            f_[b.b].x -= fb * d.x; f_[b.b].y -= fb * d.y; f_[b.b].z -= fb * d.z;
+        }
+
+        // harmonic angles: E = K (theta - theta0)^2
+        for (const Angle& an : angles_) {
+            const auto& c = angle_coeff_[an.t];
+            Vec3 d1 = delta(an.a, an.b);  // 1-2
+            Vec3 d2 = delta(an.c, an.b);  // 3-2
+            double r1sq = d1.x * d1.x + d1.y * d1.y + d1.z * d1.z;
+            double r2sq = d2.x * d2.x + d2.y * d2.y + d2.z * d2.z;
+            double r1 = std::sqrt(r1sq), r2 = std::sqrt(r2sq);
+            double cs = (d1.x * d2.x + d1.y * d2.y + d1.z * d2.z) / (r1 * r2);
+            cs = std::max(-1., std::min(1., cs));
+            double sn = std::sqrt(1. - cs * cs);
+            if (sn < 1e-8) sn = 1e-8;
+            double dtheta = std::acos(cs) - c[1];
+            pe_ += c[0] * dtheta * dtheta;
+            double a = -2. * c[0] * dtheta / sn;
+            double a11 = a * cs / r1sq;
+            double a12 = -a / (r1 * r2);
+            double a22 = a * cs / r2sq;
+            Vec3 f1 = {a11 * d1.x + a12 * d2.x, a11 * d1.y + a12 * d2.y,
+                       a11 * d1.z + a12 * d2.z};
+            Vec3 f3 = {a22 * d2.x + a12 * d1.x, a22 * d2.y + a12 * d1.y,
+                       a22 * d2.z + a12 * d1.z};
+            f_[an.a].x += f1.x; f_[an.a].y += f1.y; f_[an.a].z += f1.z;
+            f_[an.c].x += f3.x; f_[an.c].y += f3.y; f_[an.c].z += f3.z;
+            f_[an.b].x -= f1.x + f3.x;
+            f_[an.b].y -= f1.y + f3.y;
+            f_[an.b].z -= f1.z + f3.z;
+        }
+
+        // OPLS dihedrals:
+        // E = 1/2 [K1 (1+cos p) + K2 (1-cos 2p) + K3 (1+cos 3p) + K4 (1-cos 4p)]
+        for (const Dihedral& dh : dihedrals_) {
+            const auto& c = dihedral_coeff_[dh.t];
+            Vec3 b1 = delta(dh.b, dh.a);
+            Vec3 b2 = delta(dh.c, dh.b);
+            Vec3 b3 = delta(dh.d, dh.c);
+            Vec3 n1 = cross(b1, b2);
+            Vec3 n2 = cross(b2, b3);
+            double n1sq = dot(n1, n1), n2sq = dot(n2, n2);
+            double b2n = std::sqrt(dot(b2, b2));
+            if (n1sq < 1e-12 || n2sq < 1e-12 || b2n < 1e-12) continue;
+            double phi = std::atan2(dot(cross(n1, n2), b2) / b2n,
+                                    dot(n1, n2));
+            pe_ += 0.5 * (c[0] * (1. + std::cos(phi)) +
+                          c[1] * (1. - std::cos(2. * phi)) +
+                          c[2] * (1. + std::cos(3. * phi)) +
+                          c[3] * (1. - std::cos(4. * phi)));
+            double dEdphi = 0.5 * (-c[0] * std::sin(phi) +
+                                   2. * c[1] * std::sin(2. * phi) -
+                                   3. * c[2] * std::sin(3. * phi) +
+                                   4. * c[3] * std::sin(4. * phi));
+            // Blondel & Karplus force distribution (FD-verified):
+            // dphi/dr1 = -(|b2|/|n1|^2) n1, dphi/dr4 = +(|b2|/|n2|^2) n2,
+            // dphi/dr2 = -(1+t12) dphi/dr1 + t32 dphi/dr4,
+            // dphi/dr3 = -(1+t32) dphi/dr4 + t12 dphi/dr1,
+            // F = -dE/dphi * dphi/dr
+            Vec3 f1 = scale(n1, dEdphi * b2n / n1sq);
+            Vec3 f4 = scale(n2, -dEdphi * b2n / n2sq);
+            double t12 = dot(b1, b2) / (b2n * b2n);
+            double t32 = dot(b3, b2) / (b2n * b2n);
+            Vec3 f2 = {-(1. + t12) * f1.x + t32 * f4.x,
+                       -(1. + t12) * f1.y + t32 * f4.y,
+                       -(1. + t12) * f1.z + t32 * f4.z};
+            Vec3 f3 = {-(1. + t32) * f4.x + t12 * f1.x,
+                       -(1. + t32) * f4.y + t12 * f1.y,
+                       -(1. + t32) * f4.z + t12 * f1.z};
+            f_[dh.a].x += f1.x; f_[dh.a].y += f1.y; f_[dh.a].z += f1.z;
+            f_[dh.b].x += f2.x; f_[dh.b].y += f2.y; f_[dh.b].z += f2.z;
+            f_[dh.c].x += f3.x; f_[dh.c].y += f3.y; f_[dh.c].z += f3.z;
+            f_[dh.d].x += f4.x; f_[dh.d].y += f4.y; f_[dh.d].z += f4.z;
+        }
+    }
+
+    static inline Vec3 cross(const Vec3& a, const Vec3& b) {
+        return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+                a.x * b.y - a.y * b.x};
+    }
+    static inline double dot(const Vec3& a, const Vec3& b) {
+        return a.x * b.x + a.y * b.y + a.z * b.z;
+    }
+    static inline Vec3 scale(const Vec3& a, double s) {
+        return {a.x * s, a.y * s, a.z * s};
+    }
+
+    bool is_excluded(long i, long j) const {
+        const std::vector<int>& e = excl_[i];
+        for (int k : e)
+            if (k == (int)j) return true;
+        return false;
+    }
+
     void compute_forces() {
         if (need_rebuild()) build_cells();
 
         for (size_t i = 0; i < n_; ++i) f_[i] = {};
         wall_force_lo_ = {};
         wall_force_hi_ = {};
+        pe_ = 0.;
 
         const int ncell = nbx_ * nby_ * nbz_;
 
@@ -675,6 +1168,7 @@ private:
 #endif
         {
             Vec3 wlo{}, whi{};
+            double pe_acc = 0.;
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 8)
 #endif
@@ -728,6 +1222,10 @@ private:
                                             (is_frozen(gi) && is_frozen(gj)))
                                             continue;
                                     }
+                                    // bonded 1-2/1-3/1-4 exclusions
+                                    // (special_bonds lj 0 0 0)
+                                    if (!excl_.empty() && is_excluded(i, j))
+                                        continue;
 
                                     double ddx = mix(x_[i].x - x_[j].x, Lx_);
                                     double ddy = mix(x_[i].y - x_[j].y, Ly_);
@@ -735,7 +1233,8 @@ private:
                                     double r2 = ddx * ddx + ddy * ddy + ddz * ddz;
 
                                     const PairCoeff& pc =
-                                        pair_[type_[i]][type_[j]];
+                                        pairs_[(size_t)type_[i] * ntypes_ +
+                                               type_[j]];
                                     if (r2 >= pc.rc2 || r2 < 1e-12) continue;
 
                                     double inv2 = 1. / r2;
@@ -744,6 +1243,9 @@ private:
                                     double fpair =
                                         (12. * pc.c12 * inv6 - 6. * pc.c6) *
                                         inv6 * inv2;
+                                    if ((long)i < j)
+                                        pe_acc += pc.c12 * inv6 * inv6 -
+                                                  pc.c6 * inv6 - pc.shift;
 
                                     fi.x += fpair * ddx;
                                     fi.y += fpair * ddy;
@@ -781,8 +1283,11 @@ private:
                 wall_force_hi_.x += whi.x;
                 wall_force_hi_.y += whi.y;
                 wall_force_hi_.z += whi.z;
+                pe_ += pe_acc;
             }
         }
+
+        compute_bonded();
 
         // Gaussian flux control: zero the net lateral force on the fluid
         // (keeps the COM momentum imposed at stage 2 exactly constant)
@@ -810,23 +1315,38 @@ private:
         for (size_t i = 0; i < n_wall_; ++i) {
             uint8_t g = group_[i];
             if (is_frozen(g)) continue;  // all mobile wall atoms thermostatted
+            if (squeeze_steps_ > 0 && is_upper_wall(g)) continue;
             double m = mass_[i];
-            double sigma = std::sqrt(2. * m * gamma * temp_ / dt_);
+            double sigma =
+                std::sqrt(2. * m * gamma * kB_ * temp_ / (dt_ * ftm2v_));
             double vx = v_[i].x - (is_lower_wall(g) ? wall_drift_lo_ : 0.);
-            f_[i].x += -m * gamma * vx + sigma * nd(rng_);
-            f_[i].y += -m * gamma * v_[i].y + sigma * nd(rng_);
-            f_[i].z += -m * gamma * v_[i].z + sigma * nd(rng_);
+            f_[i].x += (-m * gamma * vx) / ftm2v_ + sigma * nd(rng_);
+            f_[i].y += (-m * gamma * v_[i].y) / ftm2v_ + sigma * nd(rng_);
+            f_[i].z += (-m * gamma * v_[i].z) / ftm2v_ + sigma * nd(rng_);
         }
     }
 
     void berendsen_fluid(double tau) {
         // equilibration thermostat: Berendsen drift toward the target with a
-        // hard isokinetic clamp when far off (robust against bad starts)
+        // hard isokinetic clamp when far off (robust against bad starts).
+        // Acts on the PECULIAR velocities so the imposed COM flux survives.
+        Vec3 vcom{};
+        double msum = 0.;
+        for (size_t i = n_wall_; i < n_; ++i) {
+            vcom.x += mass_[i] * v_[i].x;
+            vcom.y += mass_[i] * v_[i].y;
+            vcom.z += mass_[i] * v_[i].z;
+            msum += mass_[i];
+        }
+        vcom.x /= msum; vcom.y /= msum; vcom.z /= msum;
+
         double ke = 0.;
-        for (size_t i = n_wall_; i < n_; ++i)
-            ke += 0.5 * mass_[i] *
-                  (v_[i].x * v_[i].x + v_[i].y * v_[i].y + v_[i].z * v_[i].z);
-        double tcur = 2. * ke / (3. * n_fluid_);
+        for (size_t i = n_wall_; i < n_; ++i) {
+            double px = v_[i].x - vcom.x, py = v_[i].y - vcom.y,
+                   pz = v_[i].z - vcom.z;
+            ke += 0.5 * mass_[i] * (px * px + py * py + pz * pz);
+        }
+        double tcur = 2. * ke * mvv2e_ / (3. * n_fluid_ * kB_);
         if (tcur < 1e-12) return;
         double lam;
         if (tcur > 4. * temp_ || tcur < 0.25 * temp_)
@@ -834,9 +1354,9 @@ private:
         else
             lam = std::sqrt(std::max(0.1, 1. + dt_ / tau * (temp_ / tcur - 1.)));
         for (size_t i = n_wall_; i < n_; ++i) {
-            v_[i].x *= lam;
-            v_[i].y *= lam;
-            v_[i].z *= lam;
+            v_[i].x = vcom.x + lam * (v_[i].x - vcom.x);
+            v_[i].y = vcom.y + lam * (v_[i].y - vcom.y);
+            v_[i].z = vcom.z + lam * (v_[i].z - vcom.z);
         }
     }
 
@@ -854,12 +1374,18 @@ private:
         for (long s = 0; s < nsteps; ++s) {
             // velocity Verlet, half kick + drift
             for (size_t i = 0; i < n_; ++i) {
+                if (squeeze_steps_ > 0 && is_upper_wall(group_[i])) {
+                    // rigid squeeze of the whole upper slab toward the
+                    // target gap (reference in.run.equil.lmp fix move)
+                    x_[i].z -= dt_ * squeeze_vz_;
+                    continue;
+                }
                 if (is_frozen(group_[i])) {
                     // frozen atoms move rigidly with their set velocity
                     x_[i].x += dt_ * v_[i].x;
                     continue;
                 }
-                double hdtm = 0.5 * dt_ / mass_[i];
+                double hdtm = 0.5 * dt_ * ftm2v_ / mass_[i];
                 v_[i].x += hdtm * f_[i].x;
                 v_[i].y += hdtm * f_[i].y;
                 v_[i].z += hdtm * f_[i].z;
@@ -883,15 +1409,20 @@ private:
                 x_[i].z += ddz;
             }
 
+            if (squeeze_steps_ > 0) hi_face_ -= dt_ * squeeze_vz_;
+
             // reflecting z boundaries (safety net: hot atoms cannot leave
-            // the simulation box through the finite-thickness walls)
+            // the simulation box through the finite-thickness walls), and
+            // the scaffolding planes at the wall faces while equilibrating
+            const double rlo = reflect_faces_ ? lo_face_ : 0.;
+            const double rhi = reflect_faces_ ? hi_face_ : Lz_;
             for (size_t i = n_wall_; i < n_; ++i) {
-                if (x_[i].z < 0.) {
-                    x_[i].z = -x_[i].z;
-                    v_[i].z = -v_[i].z;
-                } else if (x_[i].z > Lz_) {
-                    x_[i].z = 2. * Lz_ - x_[i].z;
-                    v_[i].z = -v_[i].z;
+                if (x_[i].z < rlo) {
+                    x_[i].z = 2. * rlo - x_[i].z;
+                    if (v_[i].z < 0.) v_[i].z = -v_[i].z;
+                } else if (x_[i].z > rhi) {
+                    x_[i].z = 2. * rhi - x_[i].z;
+                    if (v_[i].z > 0.) v_[i].z = -v_[i].z;
                 }
             }
 
@@ -901,7 +1432,8 @@ private:
             // second half kick
             for (size_t i = 0; i < n_; ++i) {
                 if (is_frozen(group_[i])) continue;
-                double hdtm = 0.5 * dt_ / mass_[i];
+                if (squeeze_steps_ > 0 && is_upper_wall(group_[i])) continue;
+                double hdtm = 0.5 * dt_ * ftm2v_ / mass_[i];
                 v_[i].x += hdtm * f_[i].x;
                 v_[i].y += hdtm * f_[i].y;
                 v_[i].z += hdtm * f_[i].z;
@@ -909,6 +1441,7 @@ private:
 
             if (berendsen) berendsen_fluid(500. * dt_);
 
+            if (squeeze_steps_ > 0) --squeeze_steps_;
             ++step_;
 
             if (sample && step_ % Nevery == 0) {
@@ -928,7 +1461,7 @@ private:
                         ke += 0.5 * mass_[ii] *
                               (v_[ii].x * v_[ii].x + v_[ii].y * v_[ii].y +
                                v_[ii].z * v_[ii].z);
-                    double t = 2. * ke / (3. * n_fluid_);
+                    double t = 2. * ke * mvv2e_ / (3. * n_fluid_ * kB_);
                     thermo_file_ << step_ << " " << t << " " << ke << "\n";
                 }
                 // force exerted BY the fluid ON the walls is the negative of
@@ -1032,7 +1565,36 @@ private:
     std::vector<uint8_t> group_;
     std::vector<int> type_;
 
-    PairCoeff pair_[2][2];
+    // unit system (LJ: all 1; real: kcal/mol, g/mol, Angstrom, fs, K)
+    double ftm2v_ = 1.;   // force/mass -> velocity/time
+    double mvv2e_ = 1.;   // mass*velocity^2 -> energy
+    double kB_ = 1.;      // Boltzmann constant in energy/K
+
+    int ntypes_ = 2;
+    std::vector<PairCoeff> pairs_ = std::vector<PairCoeff>(4);
+
+    // molecular topology (empty for the atomic LJ workload)
+    struct Bond { int a, b, t; };
+    struct Angle { int a, b, c, t; };
+    struct Dihedral { int a, b, c, d, t; };
+    std::vector<Bond> bonds_;
+    std::vector<Angle> angles_;
+    std::vector<Dihedral> dihedrals_;
+    std::vector<std::array<double, 2>> bond_coeff_;      // K, r0
+    std::vector<std::array<double, 2>> angle_coeff_;     // K, theta0 (rad)
+    std::vector<std::array<double, 4>> dihedral_coeff_;  // K1..K4 (opls)
+    std::vector<std::vector<int>> excl_;  // 1-2/1-3/1-4 pair exclusions
+    double pe_ = 0.;  // potential energy of the last force evaluation
+
+    // gap squeeze (confined_mol equilibration)
+    double squeeze_vz_ = 0.;
+    long squeeze_steps_ = 0;
+    long equil_extra_ = 0;
+    // reflective scaffolding planes just inside the wall faces: keep
+    // rammed molecules out of the walls during equilibration/squeeze
+    // (disabled during sampling -- wall stresses stay pure LJ)
+    double lo_face_ = -1e30, hi_face_ = 1e30;
+    bool reflect_faces_ = false;
 
     double bin_ = 0, bx_ = 0, by_ = 0, bz_ = 0;
     int nbx_ = 0, nby_ = 0, nbz_ = 0;

@@ -56,7 +56,9 @@ geometry:
     V: 0.
 numerics:
     CFL: 0.5
-    adaptive: 1
+    adaptive: 0   # adaptive dt uses the GP sound speed, which is
+                  # near-degenerate with only 2 training points (dt would
+                  # explode); this test validates the multiscale wiring
     tol: 1e-8
     dt: 0.05
     max_it: 5_000
