@@ -236,6 +236,15 @@ def write_native_deck(args, out="run.in.all"):
         f"variable equil_berendsen equal {int(args.get('equil_berendsen', 1))}",
         f"variable squeeze_speed equal {float(args.get('squeeze_speed', 5e-4))}",
         "variable datafile index system.data",
+    ]
+    # EAM gold walls (reference default, md/moltemplate.py:134-136): the
+    # engine replaces the au-au LJ interaction with the funcfl table
+    if str(args.get("wall", "lj/cut")).startswith("eam"):
+        eam_file = args.get("eam_file")
+        if not eam_file:
+            raise ValueError("wall: eam requires an eam_file (funcfl table)")
+        lines += [f"variable eamfile index {eam_file}"]
+    lines += [
         "workload confined_mol",
         "run_all",
     ]

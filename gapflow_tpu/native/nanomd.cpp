@@ -140,6 +140,8 @@ public:
                     build_confined_mol();
                 } else if (kind == "selftest_bonded") {
                     selftest_bonded();
+                } else if (kind == "selftest_eam") {
+                    selftest_eam();
                 } else {
                     error_ = "unknown workload: " + kind;
                     return 1;
@@ -174,6 +176,7 @@ public:
     void build_confined_lj() {
         set_units("lj");
         set_ntypes(2);
+        eam_active_ = false;
         bonds_.clear(); angles_.clear(); dihedrals_.clear(); excl_.clear();
         cutoff_ = getvar("cutoff", 2.5);
         temp_ = getvar("temp", 1.0);
@@ -324,7 +327,16 @@ public:
         const double target_gap = getvar("input_gap", 50.);
 
         std::string datafile = getstr("datafile", "system.data");
+        eam_active_ = false;
         read_molecular_data(datafile);
+
+        // EAM gold walls (reference default) when a funcfl table is given;
+        // replaces the au-au LJ interaction entirely
+        std::string eamfile = getstr("eamfile", "");
+        if (!eamfile.empty()) {
+            read_funcfl(eamfile);
+            set_pair(0, 0, 0., 1.);
+        }
 
         // classify: type 0 (au) = wall, everything else = fluid
         // (the builder writes wall atoms first: lower slab, upper slab)
@@ -496,6 +508,67 @@ public:
         logmsg("nanomd: bonded selftest max |F_fd - F_analytic| = " +
                std::to_string(maxerr));
         built_ = false;  // selftest system is not runnable
+    }
+
+    // finite-difference validation of the EAM forces on a random gold
+    // cluster (needs an 'eamfile' variable); max error -> 'selftest_err'
+    void selftest_eam() {
+        set_units("real");
+        cutoff_ = 6.;
+        set_ntypes(1);
+        set_pair(0, 0, 0., 1.);
+        read_funcfl(getstr("eamfile", ""));
+
+        Lx_ = Ly_ = Lz_ = 200.;
+        const int nsite = 8;
+        x_.clear(); v_.clear(); f_.clear();
+        mass_.clear(); type_.clear(); group_.clear();
+        std::uniform_real_distribution<double> u(-0.25, 0.25);
+        // distorted FCC-ish cluster at first-neighbor distances
+        const double d = 2.88;
+        for (int i = 0; i < nsite; ++i) {
+            x_.push_back({100. + d * (i % 2) + u(rng_),
+                          100. + d * ((i / 2) % 2) + u(rng_),
+                          100. + d * (i / 4) + u(rng_)});
+            v_.push_back({});
+            f_.push_back({});
+            mass_.push_back(196.97);
+            type_.push_back(0);
+            group_.push_back(WALL_LO_CORE);
+        }
+        n_ = nsite; n_wall_ = nsite; n_fluid_ = 0;
+        bonds_.clear(); angles_.clear(); dihedrals_.clear(); excl_.clear();
+
+        built_ = true;
+        neigh_valid_ = false;
+        compute_forces();
+        std::vector<Vec3> f0 = f_;
+
+        const double h = 1e-6;
+        double maxerr = 0.;
+        for (int i = 0; i < nsite; ++i) {
+            double* comps[3] = {&x_[i].x, &x_[i].y, &x_[i].z};
+            double fan[3] = {f0[i].x, f0[i].y, f0[i].z};
+            for (int c = 0; c < 3; ++c) {
+                double orig = *comps[c];
+                *comps[c] = orig + h;
+                neigh_valid_ = false;
+                compute_forces();
+                double ep = pe_;
+                *comps[c] = orig - h;
+                neigh_valid_ = false;
+                compute_forces();
+                double em = pe_;
+                *comps[c] = orig;
+                double fnum = -(ep - em) / (2. * h);
+                maxerr = std::max(maxerr, std::fabs(fnum - fan[c]));
+            }
+        }
+        vars_["selftest_err"] = maxerr;
+        logmsg("nanomd: EAM selftest max |F_fd - F_analytic| = " +
+               std::to_string(maxerr));
+        built_ = false;
+        eam_active_ = false;
     }
 
     // ------------------------------------------------------------------
@@ -948,6 +1021,165 @@ private:
         if (!any) excl_.clear();
     }
 
+    // -- EAM (gold walls; funcfl single-element tables) -----------------
+    //
+    // The reference's default wall potential is pair_style eam with the
+    // Foiles Au universal-3 funcfl table (reference md/moltemplate.py:
+    // 134-136).  funcfl files are in metal units (eV, A); energies are
+    // converted to kcal/mol on read.  phi(r) = 27.2*0.529*Z(r)^2/r.
+
+    struct Table {
+        std::vector<double> y, yp;
+        double dx = 1.;
+        int n = 0;
+
+        void build(const std::vector<double>& v, double dx_) {
+            y = v;
+            dx = dx_;
+            n = (int)v.size();
+            yp.assign(n, 0.);
+            for (int i = 1; i + 1 < n; ++i)
+                yp[i] = (y[i + 1] - y[i - 1]) / (2. * dx);
+            if (n > 1) {
+                yp[0] = (y[1] - y[0]) / dx;
+                yp[n - 1] = (y[n - 1] - y[n - 2]) / dx;
+            }
+        }
+
+        // cubic Hermite value + derivative
+        inline void eval(double x, double& val, double& der) const {
+            double s = x / dx;
+            int i = (int)s;
+            if (i < 0) i = 0;
+            if (i > n - 2) i = n - 2;
+            double t = s - i;
+            double h00 = (1. + 2. * t) * (1. - t) * (1. - t);
+            double h10 = t * (1. - t) * (1. - t);
+            double h01 = t * t * (3. - 2. * t);
+            double h11 = t * t * (t - 1.);
+            val = h00 * y[i] + h10 * dx * yp[i] + h01 * y[i + 1] +
+                  h11 * dx * yp[i + 1];
+            double d00 = 6. * t * (t - 1.);
+            double d10 = (1. - t) * (1. - 3. * t);
+            double d01 = -d00;
+            double d11 = t * (3. * t - 2.);
+            der = (d00 * y[i] + d01 * y[i + 1]) / dx + d10 * yp[i] +
+                  d11 * yp[i + 1];
+        }
+    };
+
+    void read_funcfl(const std::string& path) {
+        std::ifstream in(path);
+        if (!in) throw std::runtime_error("cannot open EAM table: " + path);
+        const double EV2KCAL = 23.060549;
+
+        std::string line;
+        std::getline(in, line);  // comment
+        std::getline(in, line);  // Z, mass, a0, structure
+        double Zat = 79.;
+        { std::istringstream ss(line); ss >> Zat; }
+        std::getline(in, line);
+        long nrho, nr;
+        double drho, dr;
+        {
+            std::istringstream ss(line);
+            ss >> nrho >> drho >> nr >> dr >> eam_rc_;
+        }
+        auto read_vals = [&](long count) {
+            std::vector<double> v;
+            v.reserve(count);
+            double x;
+            while ((long)v.size() < count && in >> x) v.push_back(x);
+            if ((long)v.size() != count)
+                throw std::runtime_error("truncated EAM table: " + path);
+            return v;
+        };
+        std::vector<double> F = read_vals(nrho);   // eV
+        std::vector<double> Zr = read_vals(nr);    // effective charge
+        std::vector<double> rho = read_vals(nr);   // density
+
+        for (double& v : F) v *= EV2KCAL;
+        // phi(r) = 27.2*0.529*Z(r)^2/r  [eV]; store r*phi (finite at r=0)
+        std::vector<double> rphi(nr);
+        for (long i = 0; i < nr; ++i)
+            rphi[i] = 27.2 * 0.529 * Zr[i] * Zr[i] * EV2KCAL;
+
+        eam_F_.build(F, drho);
+        eam_rho_.build(rho, dr);
+        eam_rphi_.build(rphi, dr);
+        eam_rc2_ = eam_rc_ * eam_rc_;
+        eam_active_ = true;
+        logmsg("nanomd: EAM table loaded: " + path);
+    }
+
+    // density + embedding pre-pass over the wall atoms (au-au only)
+    void eam_prepass() {
+        eam_fp_.assign(n_wall_, 0.);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+        for (long i = 0; i < (long)n_wall_; ++i) {
+            if (type_[i] != 0) continue;
+            int c = cell_of_[i];
+            int cz = c / (nbx_ * nby_);
+            int cy = (c / nbx_) % nby_;
+            int cx = c % nbx_;
+            double rho_i = 0.;
+            for (int dz = -1; dz <= 1; ++dz) {
+                int zz = cz + dz;
+                if (zz < 0 || zz >= nbz_) continue;
+                for (int dy = -1; dy <= 1; ++dy) {
+                    int yy = (cy + dy + nby_) % nby_;
+                    for (int dx = -1; dx <= 1; ++dx) {
+                        int xx = (cx + dx + nbx_) % nbx_;
+                        int cc = (zz * nby_ + yy) * nbx_ + xx;
+                        if (visited_nb(cx, cy, cz, cc, dx, dy, dz)) continue;
+                        for (long j = head_[cc]; j >= 0; j = next_[j]) {
+                            if (j == i || type_[j] != 0) continue;
+                            double ddx = mix(x_[i].x - x_[j].x, Lx_);
+                            double ddy = mix(x_[i].y - x_[j].y, Ly_);
+                            double ddz = x_[i].z - x_[j].z;
+                            double r2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                            if (r2 >= eam_rc2_ || r2 < 1e-12) continue;
+                            double val, der;
+                            eam_rho_.eval(std::sqrt(r2), val, der);
+                            rho_i += val;
+                        }
+                    }
+                }
+            }
+            double Fv, Fp;
+            eam_F_.eval(rho_i, Fv, Fp);
+            eam_fp_[i] = Fp;
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+            pe_ += Fv;
+        }
+    }
+
+    // guard against double-visiting periodic-folded neighbor cells
+    // (same dedup rule as the force loop, expressed per offset)
+    inline bool visited_nb(int cx, int cy, int cz, int cc,
+                           int dx, int dy, int dz) const {
+        // visit each distinct cell once: accept only the first offset
+        // triple that maps to cc by scanning offsets in order
+        for (int z2 = -1; z2 <= dz; ++z2) {
+            int zz = cz + z2;
+            if (zz < 0 || zz >= nbz_) continue;
+            int ylim = (z2 == dz) ? dy : 1;
+            for (int y2 = -1; y2 <= ylim; ++y2) {
+                int yy = (cy + y2 + nby_) % nby_;
+                int xlim = (z2 == dz && y2 == dy) ? dx - 1 : 1;
+                for (int x2 = -1; x2 <= xlim; ++x2) {
+                    int xx = (cx + x2 + nbx_) % nbx_;
+                    if ((zz * nby_ + yy) * nbx_ + xx == cc) return true;
+                }
+            }
+        }
+        return false;
+    }
+
     // -- pair interactions --------------------------------------------------
     void set_ntypes(int n) {
         ntypes_ = n;
@@ -1160,6 +1392,7 @@ private:
         wall_force_lo_ = {};
         wall_force_hi_ = {};
         pe_ = 0.;
+        if (eam_active_) eam_prepass();
 
         const int ncell = nbx_ * nby_ * nbz_;
 
@@ -1231,21 +1464,35 @@ private:
                                     double ddy = mix(x_[i].y - x_[j].y, Ly_);
                                     double ddz = x_[i].z - x_[j].z;
                                     double r2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                                    if (r2 < 1e-12) continue;
 
                                     const PairCoeff& pc =
                                         pairs_[(size_t)type_[i] * ntypes_ +
                                                type_[j]];
-                                    if (r2 >= pc.rc2 || r2 < 1e-12) continue;
-
-                                    double inv2 = 1. / r2;
-                                    double inv6 = inv2 * inv2 * inv2;
-                                    // F = (12 c12 r^-13 - 6 c6 r^-7) r_hat
-                                    double fpair =
-                                        (12. * pc.c12 * inv6 - 6. * pc.c6) *
-                                        inv6 * inv2;
-                                    if ((long)i < j)
-                                        pe_acc += pc.c12 * inv6 * inv6 -
-                                                  pc.c6 * inv6 - pc.shift;
+                                    double fpair = 0.;
+                                    if (r2 < pc.rc2) {
+                                        double inv2 = 1. / r2;
+                                        double inv6 = inv2 * inv2 * inv2;
+                                        // F = (12 c12 r^-13 - 6 c6 r^-7) r_hat
+                                        fpair = (12. * pc.c12 * inv6 -
+                                                 6. * pc.c6) * inv6 * inv2;
+                                        if ((long)i < j)
+                                            pe_acc += pc.c12 * inv6 * inv6 -
+                                                      pc.c6 * inv6 - pc.shift;
+                                    }
+                                    if (eam_active_ && type_[i] == 0 &&
+                                        type_[j] == 0 && r2 < eam_rc2_) {
+                                        double r = std::sqrt(r2);
+                                        double rphi, rphip, rhov, rhop;
+                                        eam_rphi_.eval(r, rphi, rphip);
+                                        eam_rho_.eval(r, rhov, rhop);
+                                        double phi = rphi / r;
+                                        double phip = rphip / r - phi / r;
+                                        double fps = eam_fp_[i] + eam_fp_[j];
+                                        fpair += -(fps * rhop + phip) / r;
+                                        if ((long)i < j) pe_acc += phi;
+                                    }
+                                    if (fpair == 0.) continue;
 
                                     fi.x += fpair * ddx;
                                     fi.y += fpair * ddy;
@@ -1595,6 +1842,12 @@ private:
     // (disabled during sampling -- wall stresses stay pure LJ)
     double lo_face_ = -1e30, hi_face_ = 1e30;
     bool reflect_faces_ = false;
+
+    // EAM gold (funcfl)
+    bool eam_active_ = false;
+    double eam_rc_ = 0., eam_rc2_ = 0.;
+    Table eam_F_, eam_rho_, eam_rphi_;
+    std::vector<double> eam_fp_;
 
     double bin_ = 0, bx_ = 0, by_ = 0, bz_ = 0;
     int nbx_ = 0, nby_ = 0, nbz_ = 0;

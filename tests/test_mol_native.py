@@ -180,3 +180,64 @@ md:
         problem.update()
     assert problem.step == 2
     assert problem.q_is_valid
+
+
+def _write_synthetic_funcfl(path):
+    """Smooth Au-like funcfl table (metal units) for the EAM selftests."""
+    nrho, drho, nr, dr, rc = 200, 0.05, 200, 0.03, 5.5
+    rho_grid = np.arange(nrho) * drho
+    r_grid = np.arange(nr) * dr
+    F = -3.5 * np.sqrt(rho_grid)
+    cut = np.clip((rc - r_grid) / rc, 0., None) ** 2
+    Z = 11.0 * np.exp(-1.8 * r_grid) * cut
+    rho = 0.4 * np.exp(-1.2 * r_grid) * cut
+    with open(path, "w") as fh:
+        fh.write("synthetic Au-like funcfl for tests UNITS: metal\n")
+        fh.write("79 196.97 4.08 FCC\n")
+        fh.write(f"{nrho} {drho:.10e} {nr} {dr:.10e} {rc:.10e}\n")
+        for arr in (F, Z, rho):
+            for i in range(0, len(arr), 5):
+                fh.write(" ".join(f"{v: .16e}" for v in arr[i:i+5]) + "\n")
+
+
+def test_eam_forces_match_finite_differences(engine_lib, tmp_path):
+    from gapflow_tpu.md._engine import Engine
+    table = os.path.join(tmp_path, "au.eam")
+    _write_synthetic_funcfl(table)
+    eng = Engine()
+    eng.command("log none")
+    eng.command(f"variable eamfile index {table}")
+    eng.command("workload selftest_eam")
+    assert eng.extract_global("selftest_err") < 1e-4
+
+
+def test_confined_mol_with_eam_walls(engine_lib, tmp_path):
+    """Short staged run with EAM gold walls instead of LJ gold."""
+    from gapflow_tpu.md._engine import Engine
+
+    args = {"gap_height": 25., "density": 0.35, "fluxX": 5e-6, "fluxY": 0.,
+            "molecule": "pentane", "nx": 4, "nz": 2,
+            "temperature": 300., "vWall": 2.0, "timestep": 1.0,
+            "tinit": 300, "ttherm": 300, "tsample": 600,
+            "Nevery": 10, "Nrepeat": 10, "nbinz": 40,
+            "squeeze_speed": 2e-3,
+            "wall": "eam", "eam_file": "au.eam"}
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        _write_synthetic_funcfl("au.eam")
+        info = build_system_data(args, template_dir=MOLDIR)
+        write_native_deck(args)
+        eng = Engine(nthreads=2)
+        eng.file("run.in.all")
+        x = eng.gather_atoms("x")
+        v = eng.gather_atoms("v")
+        assert np.all(np.isfinite(x)) and np.all(np.isfinite(v))
+        nl = info["n_wall"] // 2
+        # EAM-bound lower wall stays a compact slab
+        lo = x[:nl, 2]
+        assert lo.max() - lo.min() < 25.
+        assert os.path.exists("stress_wall.dat")
+    finally:
+        os.chdir(cwd)
