@@ -20,7 +20,7 @@ os.environ.setdefault("GAPFLOW_X64", "0")
 import numpy as np  # noqa: E402
 
 
-def bench_fv_step(nx=1024, ny=1024, n_steps=200, warmup=2):
+def bench_fv_step(nx=1024, ny=1024, n_steps=5000, warmup=2):
     import jax
     from gapflow_tpu import Problem
     from gapflow_tpu.core.step import make_trajectory, make_det_step

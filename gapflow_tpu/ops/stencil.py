@@ -8,11 +8,25 @@ the intermediate HBM round-trips of the XLA path (which materializes the
 per-pass state between fusions).
 
 Decomposition: strips along x (the sublane dimension).  Mosaic requires
-HBM->VMEM slice shapes aligned to the (8, 128) tile, so strips carry a
-4-cell x-halo (2 needed by the two passes + 2 alignment padding).  The y
+HBM<->VMEM slice shapes and offsets aligned to the (8, 128) tile, so
+strips carry an 8-cell x-halo (2 needed by the two passes, the rest
+alignment padding; 8 also makes every DMA offset tile-aligned).  The y
 axis is kept whole and un-haloed: with periodic boundaries the in-kernel
 roll over the full width IS the periodic wrap, so y needs no ghost data
 (requires ny to be a multiple of 128).
+
+The n-step loop escalates through three layouts (fastest that fits):
+
+1. whole-run-in-VMEM: the halo-extended state ping-pongs between two
+   VMEM-resident buffers with the statics also VMEM-resident; the entire
+   n-step loop touches HBM exactly twice (~15e9 cell-updates/s at 1024^2
+   on one v5e chip — pure VPU compute);
+2. extended-array carry: the kernel reads/writes the halo-extended array
+   in HBM directly (ANY-memory output with manual DMAs; the first/last
+   strips duplicate their edge rows into the opposite halo), so no
+   per-step halo-concatenation pass is needed (~8.5e9);
+3. interior carry with a per-step extension pass (compensated/f32-Kahan
+   and boundary-condition variants).
 
 The kernel is VPU-bound, so the hot path uses the hand-factored closures
 (gapflow_tpu.models.closures_opt) with all static per-cell factors
@@ -38,7 +52,7 @@ from ..models.eos import eos_pressure
 from ..models.closures_opt import (fused_pass_top_pre, precompute_statics,
                                    N_STATIC)
 
-HALO_X = 4   # 2 physics cells + 2 alignment padding
+HALO_X = 8   # 2 physics cells + alignment padding (tile-aligned DMA offsets)
 
 
 def _fully_periodic(cfg):
@@ -272,6 +286,125 @@ def _kernel_fused(cfg, bs, d0, d1, emit_delta,
         out_ref[2] = (c[sl] + q2_0[sl]) / 2.
 
 
+def _kernel_fused_ext(cfg, bs, nx, d0, d1,
+                      dt_ref, q_hbm, st_hbm, out_hbm,
+                      q_loc, st_loc, out_loc, sems):
+    """Loop-optimized periodic variant: writes the halo-EXTENDED array
+    directly (out rows [H, H+nx) = interior; first/last strips duplicate
+    their edge rows into the opposite halo), so the n-step driver carries
+    the extended state with no per-step halo-concatenation pass."""
+    i = pl.program_id(0)
+    n_strips = pl.num_programs(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    cp_q = pltpu.make_async_copy(
+        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
+    cp_s = pltpu.make_async_copy(
+        st_hbm.at[:, pl.ds(x0, rows), :], st_loc, sems.at[1])
+    cp_q.start()
+    cp_s.start()
+    cp_q.wait()
+    cp_s.wait()
+
+    dt = dt_ref[0]
+    st = tuple(st_loc[c] for c in range(N_STATIC))
+    q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
+
+    a, b, c = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
+    a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+
+    sl = slice(HALO_X, HALO_X + bs)
+    out_loc[0] = (a[sl] + q0_0[sl]) / 2.
+    out_loc[1] = (b[sl] + q1_0[sl]) / 2.
+    out_loc[2] = (c[sl] + q2_0[sl]) / 2.
+
+    cp_out = pltpu.make_async_copy(
+        out_loc, out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[2])
+    cp_out.start()
+
+    # top halo rows [nx+H, nx+2H) = interior rows [0, H) (first strip);
+    # bottom halo rows [0, H) = interior rows [nx-H, nx) (last strip)
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_loc.at[:, pl.ds(0, HALO_X), :],
+            out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[3])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_strips - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_loc.at[:, pl.ds(bs - HALO_X, HALO_X), :],
+            out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[3])
+        cp.start()
+        cp.wait()
+
+    cp_out.wait()
+
+
+def _kernel_fused_vmem(cfg, bs, nx, n_steps, d0, d1,
+                       dt_ref, q_hbm, st_hbm, out_hbm, qA, qB, st_loc,
+                       sems):
+    """Whole-run-in-VMEM variant: the halo-extended state ping-pongs
+    between two VMEM buffers and the statics stay VMEM-resident, so the
+    entire n-step loop touches HBM exactly twice (initial load, final
+    store).  Grid = (n_steps, n_strips), sequential on the core."""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    n_strips = pl.num_programs(1)
+
+    @pl.when((s == 0) & (i == 0))
+    def _():
+        cq = pltpu.make_async_copy(q_hbm, qA, sems.at[0])
+        cs = pltpu.make_async_copy(st_hbm, st_loc, sems.at[1])
+        cq.start()
+        cs.start()
+        cq.wait()
+        cs.wait()
+
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+    dt = dt_ref[0]
+    sl = slice(HALO_X, HALO_X + bs)
+
+    def advance(qin, qout):
+        st = tuple(st_loc[c, pl.ds(x0, rows), :] for c in range(N_STATIC))
+        q0_0 = qin[0, pl.ds(x0, rows), :]
+        q1_0 = qin[1, pl.ds(x0, rows), :]
+        q2_0 = qin[2, pl.ds(x0, rows), :]
+        a, b, c = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
+        a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+        for ci, (val, q00) in enumerate(((a, q0_0), (b, q1_0), (c, q2_0))):
+            out = (val[sl] + q00[sl]) / 2.
+            qout[ci, pl.ds(HALO_X + x0, bs), :] = out
+
+            # halo duplication (periodic wrap lives in the array layout)
+            @pl.when(i == 0)
+            def _(out=out, ci=ci):
+                qout[ci, pl.ds(nx + HALO_X, HALO_X), :] = out[:HALO_X]
+
+            @pl.when(i == n_strips - 1)
+            def _(out=out, ci=ci):
+                qout[ci, pl.ds(0, HALO_X), :] = out[bs - HALO_X:]
+
+    @pl.when(s % 2 == 0)
+    def _():
+        advance(qA, qB)
+
+    @pl.when(s % 2 == 1)
+    def _():
+        advance(qB, qA)
+
+    @pl.when((s == n_steps - 1) & (i == n_strips - 1))
+    def _():
+        src = qB if (n_steps - 1) % 2 == 0 else qA
+        cp = pltpu.make_async_copy(src, out_hbm, sems.at[2])
+        cp.start()
+        cp.wait()
+
+
 def _kernel_generic(cfg, bs, d0, d1, emit_delta,
                     dt_ref, q_hbm, topo_hbm, extra_hbm, out_ref,
                     q_loc, topo_loc, extra_loc, sems):
@@ -331,10 +464,11 @@ def _reassemble(q_like, q_int):
 def _auto_bs(nx, ny):
     """Largest strip that keeps the kernel's live VMEM within budget.
 
-    Live temporaries scale with bs*ny; bs*ny ~ 128*1024 fits comfortably
-    within the 16 MB VMEM (measured on v5e with the factored closures).
+    Live temporaries scale with bs*ny; bs*ny ~ 256*1024 fits within the
+    raised 100 MB scoped-vmem limit (measured on v5e with the factored
+    closures; 512*1024 still fits, 1024*1024 overflows).
     """
-    budget = 128 * 1024
+    budget = 256 * 1024
     bs = max(8, min(nx, (budget // ny) // 8 * 8))
     while nx % bs and bs > 8:
         bs -= 8
@@ -472,7 +606,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             out = jnp.zeros_like(q_like).at[:, 1:-1, 1:-1].set(q_int)
             return apply_bcs(out, cfg)
 
-        return call, extend, reassemble, fused, ext_step
+        return call, extend, reassemble, fused, ext_step, None, None
 
     def extend(arr):
         return _extend_interior(arr[:, 1:-1, 1:-1])
@@ -483,8 +617,62 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
     def reassemble(q_like, q_int):
         return _reassemble(q_like, q_int)
 
+    call_ext = None
+    vmem_loop_factory = None
     if fused:
         kernel = partial(_kernel_fused, cfg, bs, d0, d1, emit_delta)
+
+        # whole-run-in-VMEM loop when the ping-pong state + statics +
+        # per-strip temporaries fit the scoped VMEM budget
+        ext_bytes = (nx + 2 * HALO_X) * ny * jnp.dtype(dtype).itemsize
+        vmem_need = (6 + N_STATIC) * ext_bytes + 60 * bs * ny
+        if vmem_need < 90 * 1024 * 1024:
+            def vmem_loop_factory(n_steps):
+                kern = partial(_kernel_fused_vmem, cfg, bs, nx, n_steps,
+                               d0, d1)
+                ext_shape = (3, nx + 2 * HALO_X, ny)
+
+                def call_vmem(q_ext, stat_ext, dt):
+                    return pl.pallas_call(
+                        kern,
+                        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                                  pl.BlockSpec(memory_space=pl.ANY),
+                                  pl.BlockSpec(memory_space=pl.ANY)],
+                        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                        out_shape=jax.ShapeDtypeStruct(ext_shape, dtype),
+                        scratch_shapes=[
+                            pltpu.VMEM(ext_shape, dtype),
+                            pltpu.VMEM(ext_shape, dtype),
+                            pltpu.VMEM((N_STATIC,) + ext_shape[1:], dtype),
+                            pltpu.SemaphoreType.DMA((3,)),
+                        ],
+                        grid=(n_steps, grid[0]),
+                        compiler_params=params,
+                    )(dt, q_ext, stat_ext)
+
+                return call_vmem
+
+        # loop-optimized variant: in AND out are the halo-extended array
+        kernel_ext = partial(_kernel_fused_ext, cfg, bs, nx, d0, d1)
+
+        def call_ext(q_ext, stat_ext, dt):
+            return pl.pallas_call(
+                kernel_ext,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((3, nx + 2 * HALO_X, ny),
+                                               dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((3, rows, ny), dtype),
+                    pltpu.VMEM((N_STATIC, rows, ny), dtype),
+                    pltpu.VMEM((3, bs, ny), dtype),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
+                grid=grid,
+                compiler_params=params,
+            )(dt, q_ext, stat_ext)
 
         def call(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -517,7 +705,8 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 **common,
             )(dt, q_ext, topo_ext, extra_ext)
 
-    return call, extend, reassemble, fused, ext_step
+    return (call, extend, reassemble, fused, ext_step, call_ext,
+            vmem_loop_factory)
 
 
 @lru_cache(maxsize=16)
@@ -527,7 +716,8 @@ def make_pallas_step(cfg, nx, ny, bs=None, dtype=jnp.float32):
     Matches :func:`gapflow_tpu.core.step.make_det_step` for periodic
     problems (minus residual/validity bookkeeping).
     """
-    call, extend, reassemble, fused, _ = _make_call(cfg, nx, ny, bs, dtype)
+    call, extend, reassemble, fused, _, _, _ = _make_call(cfg, nx, ny, bs,
+                                                          dtype)
 
     @jax.jit
     def step(q, topo, extra, dt, step_idx):
@@ -574,7 +764,7 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     underflow plain f32 updates — see examples/validate_f32_production.py.
     Costs four elementwise adds per step outside the kernel.
     """
-    call, extend, reassemble, fused, ext_step = \
+    call, extend, reassemble, fused, ext_step, call_ext, vmem_factory = \
         _make_call(cfg, nx, ny, bs, dtype, compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -604,6 +794,18 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             q0 = q[:, 1:-1, 1:-1]
             q_int, _ = jax.lax.fori_loop(0, n_steps, body,
                                          (q0, jnp.zeros_like(q0)))
+        elif vmem_factory is not None and n_steps > 1:
+            # whole run in VMEM: one kernel, HBM touched exactly twice
+            q_ext = vmem_factory(n_steps)(extend(q), *args, dt)
+            q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2, :]
+        elif call_ext is not None:
+            # extended-array carry: the kernel maintains the halos itself,
+            # removing the per-step halo-concatenation pass
+            def body(i, q_ext):
+                return call_ext(q_ext, *args, dt)
+
+            q_ext = jax.lax.fori_loop(0, n_steps, body, extend(q))
+            q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2, :]
         else:
             def body(i, q_int):
                 return call(ext_step(q_int), *args, dt)
