@@ -31,11 +31,20 @@ def _topo_from_deformation(h_undeformed, u, dx, dy):
     return jnp.stack([h, dh_dx, dh_dy, u])
 
 
-def make_ehl_loop(problem, use_pallas="auto", dtype=None):
+def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
     """Build ``loop(q, u_prev, dt, n_steps) -> (q, u)`` for an elastic Problem.
 
     q and u are ghost-inclusive arrays; the Problem supplies the half-space
     kernel, under-relaxation factor, undeformed gap and solver config.
+
+    ``deform_every=K`` evaluates the FFT elastic update every K fluid
+    steps with the compounded relaxation factor 1-(1-alpha)^K — the same
+    fixed point, ~K x fewer FFTs.  With under-relaxation factors of
+    1e-3..1e-4 the deformation moves by well under 1% of its increment
+    per step, so K of O(10) changes the transient negligibly; K=1 is the
+    reference protocol.  The fluid advances through the fast n-step
+    Pallas loop within each K-chunk (statics hoisted per chunk).
+    ``n_steps`` must be divisible by K.
     """
     if not problem.topo.elastic:
         raise ValueError("problem has no elastic coupling")
@@ -51,34 +60,51 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None):
     prop = cfg.prop
     nx, ny = problem.grid["Nx"], problem.grid["Ny"]
 
-    from ..ops import make_pallas_step, pallas_supported
+    from ..ops import make_pallas_step, make_pallas_loop, pallas_supported
     if use_pallas == "auto":
         use_pallas = pallas_supported(cfg, ny)
 
+    K = int(deform_every)
+    alpha_K = 1. - (1. - alpha) ** K
+
     if use_pallas:
         dtype = dtype or jnp.float32
-        fluid_step = make_pallas_step(cfg, nx, ny, dtype=dtype)
+        if K > 1:
+            inner_loop = make_pallas_loop(cfg, nx, ny, dtype=dtype)
+
+            def fluid_chunk(q, topo, extra_, dt, i):
+                return inner_loop(q, topo, extra_, dt, K)
+        else:
+            _step = make_pallas_step(cfg, nx, ny, dtype=dtype)
+
+            def fluid_chunk(q, topo, extra_, dt, i):
+                return _step(q, topo, extra_, dt, i)
     else:
         dtype = dtype or jnp.asarray(problem.q).dtype
         det = make_det_step(cfg, with_aux=False)
 
-        def fluid_step(q, topo, extra_, dt, i):
+        def fluid_chunk(q, topo, extra_, dt, i):
             from .state import SimState
-            state = SimState(
-                q=q, topo=topo, extra=extra_, dt=dt,
-                step=jnp.asarray(i, jnp.int32),
-                simtime=jnp.asarray(0., q.dtype),
-                ekin_old=jnp.asarray(1., q.dtype),
-                residual=jnp.asarray(1., q.dtype),
-                residual_buffer=jnp.full((5,), jnp.inf, q.dtype),
-                valid=jnp.asarray(True))
-            return det(state).q
+
+            def one(k, qq):
+                state = SimState(
+                    q=qq, topo=topo, extra=extra_, dt=dt,
+                    step=jnp.asarray(i + k, jnp.int32),
+                    simtime=jnp.asarray(0., qq.dtype),
+                    ekin_old=jnp.asarray(1., qq.dtype),
+                    residual=jnp.asarray(1., qq.dtype),
+                    residual_buffer=jnp.full((5,), jnp.inf, qq.dtype),
+                    valid=jnp.asarray(True))
+                return det(state).q
+
+            return jax.lax.fori_loop(0, K, one, q)
 
     h_und = h_und.astype(dtype)
     extra_d = extra.astype(dtype)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, u_prev, dt, n_steps):
+        assert n_steps % K == 0, "n_steps must be divisible by deform_every"
         q = jnp.asarray(q, dtype)
         u_prev = jnp.asarray(u_prev, dtype)
         dt = jnp.asarray(dt, dtype)
@@ -89,15 +115,15 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None):
                 h_und + 0., u - (u[0, 0] if shift_reference else 0.),
                 cfg.dx, cfg.dy)
             # note: h uses the reference-shifted deformation like the host
-            q = fluid_step(q, topo.astype(dtype), extra_d, dt, i)
+            q = fluid_chunk(q, topo.astype(dtype), extra_d, dt, i * K)
 
             p = eos_pressure(q[0], prop)
             if shift_reference:
                 p = p - p[0, 0]
             u_new = hs_deform(p.astype(u.dtype))
-            u = (1. - alpha) * u + alpha * u_new
+            u = (1. - alpha_K) * u + alpha_K * u_new
             return q, u
 
-        return jax.lax.fori_loop(0, n_steps, body, (q, u_prev))
+        return jax.lax.fori_loop(0, n_steps // K, body, (q, u_prev))
 
     return loop

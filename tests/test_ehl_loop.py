@@ -85,3 +85,24 @@ def test_ehl_loop_steady_state_consistency():
     m1 = np.abs(np.asarray(u1)).max()
     m2 = np.abs(np.asarray(u2)).max()
     assert m2 > m1 > 0.
+
+
+def test_ehl_loop_deform_every_same_fixed_point():
+    """K-chunked deformation updates track the per-step protocol closely
+    (compounded relaxation factor, same fixed point)."""
+    p1 = Problem.from_string(sim)
+    p1._pre_run()
+    loop1 = make_ehl_loop(p1, use_pallas=False, deform_every=1)
+    u0 = np.zeros_like(p1.topo.deformation)
+    q1, u1 = loop1(p1.q, u0, p1.dt, 200)
+
+    p5 = Problem.from_string(sim)
+    p5._pre_run()
+    loop5 = make_ehl_loop(p5, use_pallas=False, deform_every=5)
+    q5, u5 = loop5(p5.q, u0, p5.dt, 200)
+
+    np.testing.assert_allclose(np.asarray(q5), np.asarray(q1), rtol=1e-5)
+    # the chunked deformation lags by up to K-1 fluid steps during the
+    # transient (~K/n relative); both converge to the same fixed point
+    scale = max(np.abs(np.asarray(u1)).max(), 1e-30)
+    assert np.abs(np.asarray(u5) - np.asarray(u1)).max() / scale < 0.06
