@@ -261,11 +261,17 @@ class Problem:
                         "residual": [], "vsound": []}
 
         # Silent deterministic runs need no per-step host I/O: run the whole
-        # convergence loop on-device (lax.while_loop over the fused step).
+        # convergence loop on-device.  Float32 production problems covered
+        # by the fused Pallas kernel take the chunked fast path (convergence
+        # checked at chunk granularity); everything else runs the XLA
+        # lax.while_loop with the reference per-step semantics.
         if (self.options["silent"] and not self.has_gp_model
                 and not self.topo.elastic):
             self._tic = datetime.now()
-            self.run_compiled()
+            if self._fast_run_eligible():
+                self.run_compiled_fast()
+            else:
+                self.run_compiled()
             if not keep_open:
                 self._post_run()
             return
@@ -754,6 +760,92 @@ class Problem:
                                      jnp.asarray(self.dt), n)
         sync_host(self, q, gps, pauses, n)
         return int(n_acq)
+
+    def _fast_run_eligible(self):
+        """The chunked Pallas convergence run applies to float32 (x64 off)
+        deterministic, non-elastic problems the fused kernel covers."""
+        from .ops import pallas_supported
+        import jax as _jax
+
+        return (not _jax.config.jax_enable_x64
+                and _jax.default_backend() == "tpu"
+                and not self.has_gp_model and not self.topo.elastic
+                and pallas_supported(self._solver_cfg, self.grid["Ny"]))
+
+    def run_compiled_fast(self, max_steps=None, chunk=1024,
+                          compensated=True):
+        """Whole convergence run through the fused Pallas loop.
+
+        Float32 production path: advances ``chunk`` steps per device call
+        through :func:`gapflow_tpu.ops.make_pallas_loop` (compensated
+        accumulation by default — required near steady state in f32, see
+        examples/validate_f32_production.py), then checks validity and the
+        kinetic-energy residual at chunk granularity; with adaptive
+        numerics, dt is refreshed from the CFL criterion between chunks
+        (with a 0.9 safety factor since it stays frozen within a chunk).
+        Convergence = 5 consecutive chunk-averaged residuals below tol,
+        mirroring the reference's 5-deep residual buffer at coarser
+        granularity.
+        """
+        import jax
+        from .ops import make_pallas_loop
+        from .models.eos import eos_sound_velocity
+
+        if self.step is None:
+            self._pre_run()
+        max_steps = max_steps or self.max_it
+
+        cfg = self._solver_cfg
+        loop = make_pallas_loop(cfg, self.grid["Nx"], self.grid["Ny"],
+                                compensated=compensated)
+
+        @jax.jit
+        def stats(q):
+            ekin = jnp.sum((q[1] ** 2 + q[2] ** 2) / q[0] / 2.)
+            ok = jnp.all(jnp.isfinite(q)) & (jnp.min(q[0]) > 0.)
+            v_max = jnp.sqrt(
+                jnp.max((q[1] ** 2 + q[2] ** 2) / q[0] ** 2))
+            c_max = jnp.max(eos_sound_velocity(q[0], cfg.prop))
+            return ekin, ok, v_max, c_max
+
+        topo = jnp.asarray(self.topo.full)
+        extra = jnp.asarray(self.fc.get_real_field("extra").p)
+        q = jnp.asarray(self.q)
+        q_prev = q
+        ekin_old = self.kinetic_energy
+
+        dmin = min(self.grid["dx"], self.grid["dy"])
+        while self.step < max_steps and not self._stop:
+            n = int(min(chunk, max_steps - self.step))
+            q = loop(q, topo, extra, jnp.asarray(self.dt), n)
+            ekin, ok, v_max, c_max = stats(q)
+            ekin = float(ekin)
+
+            if not bool(ok):
+                print("Invalid state (NaN or negative density) detected; "
+                      "stopped at the last valid chunk.")
+                q = q_prev
+                self._stop = True
+                break
+            q_prev = q
+
+            self.step += n
+            self.simtime += n * self.dt
+            self.residual = (abs(ekin - ekin_old)
+                             / max(ekin_old, 1e-300) / self.cfl / n)
+            self.residual_buffer.append(self.residual)
+            ekin_old = ekin
+            self.kinetic_energy_old = ekin
+
+            if self.numerics["adaptive"]:
+                self.dt = float(0.9 * self.numerics["CFL"] * dmin
+                                / (float(v_max) + float(c_max)))
+
+            if self.converged and len(self.residual_buffer) == 5:
+                break
+
+        self.q[...] = np.asarray(q)
+        self._refresh_det_fields()
 
     def run_steps_sharded(self, n, mesh=None):
         """Advance ``n`` fixed-dt steps sharded over a 2D device mesh.
