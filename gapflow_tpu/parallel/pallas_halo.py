@@ -1,0 +1,146 @@
+"""Sharded multi-chip FV stepping with the fused Pallas kernel.
+
+Combines the 2D spatial decomposition of :mod:`gapflow_tpu.parallel.halo`
+with the fused two-pass MacCormack kernel of
+:mod:`gapflow_tpu.ops.stencil`: per step, each shard exchanges TWO-cell
+deep halos with its mesh neighbors (one ``ppermute`` per axis; the y
+exchange runs on the x-extended block so corner cells ride along), then
+advances both MacCormack passes locally in one kernel — the deep halo
+makes the inter-pass ghost refill unnecessary (pass 1's halo ring is
+valid, which is all pass 2 consumes).
+
+Local kernel layout: the fused periodic kernel treats its full width as
+periodic (in-kernel roll).  The local block is laid out as
+``[interior(by) | E1 E2 | junk pad | W2 W1]`` on a 128-aligned width W:
+col 0's roll-left neighbor is col W-1 = W1 (the true west halo) and col
+by-1's roll-right neighbor is col ny = E1 (the true east halo), so the
+SAME kernel binary runs serial and sharded.  Junk padding columns are
+never read by valid outputs (garbage propagates one column per pass and
+the halo is two deep).  The x axis gets real neighbor rows in the inner
+two rows of the 8-row alignment halo; the outer rows are replicated
+padding.
+
+Scope: fully periodic problems (the multi-chip production case).
+Bit-identical to the serial fused kernel per cell — verified against
+:func:`gapflow_tpu.ops.make_pallas_loop` on a virtual mesh in
+tests/test_pallas_sharded.py.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.stencil import (_make_call, _fully_periodic, HALO_X,
+                           _statics_ghosted)
+from .halo import _neighbor_perm
+
+
+def _pad_width(by):
+    return ((by + 4 + 127) // 128) * 128
+
+
+def _exchange2(block, axis, axis_name, axis_size):
+    """Two-cell (lo, hi) halo slabs from the mesh neighbors."""
+    hi_edge = lax.slice_in_dim(block, block.shape[axis] - 2,
+                               block.shape[axis], axis=axis)
+    lo_edge = lax.slice_in_dim(block, 0, 2, axis=axis)
+    if axis_size == 1:
+        return hi_edge, lo_edge
+    lo = lax.ppermute(hi_edge, axis_name, _neighbor_perm(axis_size, +1))
+    hi = lax.ppermute(lo_edge, axis_name, _neighbor_perm(axis_size, -1))
+    return lo, hi
+
+
+def _to_kernel_layout(rows, by, W):
+    """(C, R, by+4) x-extended+y-exchanged block -> (C, R, W) wrap layout.
+
+    Input columns: [W2 W1 | interior(by) | E1 E2]."""
+    inter = rows[:, :, 2:2 + by]
+    east = rows[:, :, 2 + by:2 + by + 2]
+    west = rows[:, :, 0:2]
+    pad = jnp.repeat(rows[:, :, 2:3], W - by - 4, axis=2)
+    # [interior | E1 E2 | pad | W2 W1]
+    return jnp.concatenate([inter, east, pad, west], axis=2)
+
+
+@lru_cache(maxsize=8)
+def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
+    """Build ``loop(q, topo2, extra2, dt, n_steps) -> q`` sharded over mesh.
+
+    q: (3, nx, ny) interior, sharded P(None, 'x', 'y').  topo2/extra2:
+    2-cell overlapping blocks from :func:`pad_blocks2`, same sharding.
+    """
+    if not _fully_periodic(cfg):
+        raise ValueError("sharded Pallas loop covers fully periodic "
+                         "problems (others take make_sharded_trajectory)")
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    bx, by = nx // px, ny // py
+    W = _pad_width(by)
+
+    call, _, _, fused, _, _, _ = _make_call(cfg, bx, W, None, dtype)
+    assert fused
+
+    def local_loop(q, topo2, extra2, dt, n_steps):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+
+        # statics once per run: blocks carry their own 2-cell halos
+        # (pad_blocks2), so the kernel-layout statics are exact with no
+        # exchange; replicate the outer rows up to the 8-row alignment halo
+        stats = _statics_ghosted(topo2.astype(dtype), extra2.astype(dtype))
+        st_rows = jnp.concatenate(
+            [jnp.repeat(stats[:, :1], HALO_X - 2, axis=1), stats,
+             jnp.repeat(stats[:, -1:], HALO_X - 2, axis=1)], axis=1)
+        stat_ext = _to_kernel_layout(st_rows, by, W)
+
+        def body(i, q_int):
+            lo_x, hi_x = _exchange2(q_int, 1, "x", px)
+            rows = jnp.concatenate([lo_x, q_int, hi_x], axis=1)
+            lo_y, hi_y = _exchange2(rows, 2, "y", py)
+            rows = jnp.concatenate([lo_y, rows, hi_y], axis=2)
+            # expand the 2-row x halo to the kernel's 8-row alignment halo
+            rows = jnp.concatenate(
+                [jnp.repeat(rows[:, :1], HALO_X - 2, axis=1), rows,
+                 jnp.repeat(rows[:, -1:], HALO_X - 2, axis=1)], axis=1)
+            q_ext = _to_kernel_layout(rows, by, W)
+            out = call(q_ext, stat_ext, dt)    # (3, bx, W)
+            return out[:, :, :by]
+
+        return lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, q)
+
+    spec = P(None, "x", "y")
+    sharded = shard_map(
+        local_loop, mesh=mesh,
+        in_specs=(spec, spec, spec, P(), P()),
+        out_specs=spec, check_vma=False)
+    return jax.jit(sharded)
+
+
+def pad_blocks2(global_with_ghosts, px, py):
+    """Overlapping-block layout with TWO-cell halos for static fields.
+
+    (C, Nx+2, Ny+2) ghost-inclusive serial field -> (C, px*(bx+4),
+    py*(by+4)) whose (i, j) block is that shard's interior plus a 2-cell
+    halo (periodic wrap at the global edges); shard P(None, 'x', 'y')."""
+    g = np.asarray(global_with_ghosts)
+    C, nxg, nyg = g.shape
+    Nx, Ny = nxg - 2, nyg - 2
+    inter = g[:, 1:-1, 1:-1]
+    wide = np.concatenate([inter[:, -2:], inter, inter[:, :2]], axis=1)
+    wide = np.concatenate([wide[:, :, -2:], wide, wide[:, :, :2]], axis=2)
+
+    bx, by = Nx // px, Ny // py
+    assert Nx % px == 0 and Ny % py == 0, "grid must divide the mesh"
+    rows = []
+    for i in range(px):
+        cols = []
+        for j in range(py):
+            cols.append(wide[:, i * bx:i * bx + bx + 4,
+                             j * by:j * by + by + 4])
+        rows.append(np.concatenate(cols, axis=2))
+    return np.concatenate(rows, axis=1)

@@ -1,0 +1,92 @@
+"""Sharded Pallas FV loop == serial Pallas loop, on a virtual device mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gapflow_tpu import Problem
+from gapflow_tpu.parallel import grid_mesh
+from gapflow_tpu.parallel.pallas_halo import (make_sharded_pallas_loop,
+                                              pad_blocks2)
+
+
+sim = """
+options:
+    output: data/pshard
+    write_freq: 1000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: 32
+    Ny: 256
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.
+numerics:
+    CFL: 0.5
+    adaptive: 0
+    tol: 1e-8
+    dt: 5e-11
+    max_it: 10
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+"""
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_pallas_matches_serial(shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("needs 8 virtual devices")
+
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    nx, ny = problem.grid["Nx"], problem.grid["Ny"]
+    by = ny // shape[1]
+    if by % 8:
+        pytest.skip("block width must stay 8-aligned")
+
+    q = jnp.asarray(problem.q, jnp.float32)
+    topo = np.asarray(problem.topo.full, np.float32)
+    extra = np.asarray(problem.fc.get_real_field("extra").p, np.float32)
+    dt = jnp.asarray(problem.dt, jnp.float32)
+    n = 5
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_loop, _make_call
+        from gapflow_tpu.parallel import pallas_halo
+        make_pallas_loop.cache_clear()
+        make_sharded_pallas_loop.cache_clear()
+        _make_call.cache_clear()
+
+        serial = make_pallas_loop(cfg, nx, ny)
+        ref = np.asarray(serial(q, jnp.asarray(topo), jnp.asarray(extra),
+                                dt, n))[:, 1:-1, 1:-1]
+
+        mesh = grid_mesh(jax.devices()[:shape[0] * shape[1]], shape=shape)
+        loop = make_sharded_pallas_loop(cfg, mesh, nx, ny)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P(None, "x", "y"))
+        qs = jax.device_put(np.asarray(q)[:, 1:-1, 1:-1], spec)
+        t2 = jax.device_put(pad_blocks2(topo, *shape), spec)
+        e2 = jax.device_put(pad_blocks2(extra, *shape), spec)
+        out = np.asarray(loop(qs, t2, e2, dt, n))
+
+        make_pallas_loop.cache_clear()
+        make_sharded_pallas_loop.cache_clear()
+        _make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)
