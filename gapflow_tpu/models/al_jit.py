@@ -9,7 +9,9 @@ per acquisition.  This module recasts the whole loop as compiled code:
   rows); inactive rows are masked to an identity block in the kernel
   matrix, so all shapes are static and nothing retraces as data grows;
 - acquisitions append via the **O(n^2) Cholesky row update** (no
-  refactorization) at a traced index;
+  refactorization) at a traced index, carried on the *inverse* factor
+  L^{-1} so the update and all predictions are matmuls (MXU) rather
+  than sequential triangular solves (see gapflow_tpu.models.gp);
 - hyperparameter refits are a fixed number of Adam steps on the masked
   NLML, fully on-device;
 - the MD oracle enters through a user-supplied ``acquire_fn(x) -> y``:
@@ -17,10 +19,10 @@ per acquisition.  This module recasts the whole loop as compiled code:
   ``io_callback`` wrapper for a real external MD engine.
 
 The masking trick: with padded rows made identity (K_pad = I block,
-Y_pad = 0), chol(blockdiag(K, I)) = blockdiag(chol(K), I), padded alpha
-rows are zero, and predictions/NLML gradients over the active block are
-exact — verified against the dense reference path in
-tests/test_al_jit.py.
+Y_pad = 0), chol(blockdiag(K, I)) = blockdiag(chol(K), I) and its
+inverse is blockdiag(chol(K)^{-1}, I); padded alpha rows are zero, and
+predictions/NLML gradients over the active block are exact — verified
+against the dense reference path in tests/test_al_jit.py.
 """
 
 from typing import NamedTuple
@@ -29,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .gp import kernel_fn
+from .gp import kernel_fn, _invert_cholesky, _weights_from_inv, _HI
 
 
 class PaddedGP(NamedTuple):
@@ -39,7 +41,7 @@ class PaddedGP(NamedTuple):
     X: jnp.ndarray        # (capacity, d) inputs; rows >= count are padding
     Y: jnp.ndarray        # (capacity,) or (capacity, m) targets; padding = 0
     count: jnp.ndarray    # () int32: number of active rows
-    L: jnp.ndarray        # (capacity, capacity) Cholesky of masked gram
+    Linv: jnp.ndarray     # (capacity, capacity) INVERSE Cholesky factor
     alpha: jnp.ndarray    # like Y: K^{-1} Y with padding rows = 0
     yerr: jnp.ndarray     # () observation noise std
 
@@ -76,12 +78,64 @@ def masked_nlml(params, X, Y, count, yerr):
     return quad + logdet + const
 
 
+def masked_nlml_value_and_grad(params, X, Y, count, yerr):
+    """Analytic value and gradient of :func:`masked_nlml`.
+
+    Same closed-form marginal-likelihood gradient as gp.gp_refit
+    (0.5 tr((m B^{-1} - alpha alpha^T) dK/dtheta)), restricted to the
+    active block: the identity padding is parameter-independent, so the
+    per-hyperparameter kernel derivative is simply masked.  Avoids
+    reverse-mode AD's sequential triangular solves inside the fixed-budget
+    Adam refit loop.
+    """
+    n = X.shape[0]
+    amp = jnp.exp(params["log_amp"])
+    inv_scale = jnp.exp(-params["log_scale"])
+    Xs = X * inv_scale
+    sq = jnp.sum(Xs * Xs, axis=1)
+    r2 = sq[:, None] + sq[None, :] - 2. * jnp.dot(Xs, Xs.T, precision=_HI)
+    r = jnp.sqrt(jnp.maximum(0.5 * (r2 + r2.T), 0.) + 1e-14)
+    arg = jnp.sqrt(3.) * r
+    E = jnp.exp(-arg)
+    i = jnp.arange(n)
+    K = (amp * (1. + arg) * E).at[i, i].set(amp)   # pure kernel, diag = amp
+
+    mk = _row_mask(n, count, K.dtype)
+    active = mk[:, None] * mk[None, :]
+    eye = jnp.eye(n, dtype=K.dtype)
+    B = ((K + jnp.asarray(yerr) ** 2 * eye) * active
+         + eye * ((1. - mk)[None, :] * (1. - mk)[:, None]))
+
+    L = jnp.linalg.cholesky(B)
+    Linv = _invert_cholesky(L)
+    alpha, a = _weights_from_inv(Linv, Y)
+
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    m = Y2.shape[1]
+    val = (0.5 * jnp.sum(a * a)
+           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
+           + 0.5 * m * count * jnp.log(2. * jnp.pi))
+
+    alpha2 = alpha if alpha.ndim == 2 else alpha[:, None]
+    Binv = jnp.dot(Linv.T, Linv, precision=_HI)
+    G = (m * Binv - jnp.dot(alpha2, alpha2.T, precision=_HI)) * active
+
+    g_amp = 0.5 * jnp.sum(G * K)
+    W = (1.5 * amp) * E * G                      # already masked via G
+    rowsum = jnp.sum(W, axis=1)
+    WX = jnp.dot(W, Xs, precision=_HI)
+    g_scale = 2. * (jnp.sum(rowsum[:, None] * Xs * Xs, axis=0)
+                    - jnp.sum(Xs * WX, axis=0))
+    return val, {"log_amp": g_amp, "log_scale": g_scale}
+
+
 def condition(gp: PaddedGP) -> PaddedGP:
     """Full (re)factorization of the masked gram; O(capacity^3)."""
     K = masked_gram(gp.params, gp.X, gp.count, gp.yerr)
     L = jnp.linalg.cholesky(K)
-    alpha = jax.scipy.linalg.cho_solve((L, True), gp.Y)
-    return gp._replace(L=L, alpha=alpha)
+    Linv = _invert_cholesky(L)
+    alpha, _ = _weights_from_inv(Linv, gp.Y)
+    return gp._replace(Linv=Linv, alpha=alpha)
 
 
 def init(params, capacity, X0, Y0, yerr):
@@ -94,7 +148,7 @@ def init(params, capacity, X0, Y0, yerr):
         Y = jnp.zeros((capacity,), dtype=Y0.dtype).at[:n0].set(Y0)
     gp = PaddedGP(params=params, X=X, Y=Y,
                   count=jnp.asarray(n0, jnp.int32),
-                  L=jnp.eye(capacity, dtype=X0.dtype),
+                  Linv=jnp.eye(capacity, dtype=X0.dtype),
                   alpha=jnp.zeros_like(Y),
                   yerr=jnp.asarray(yerr, X0.dtype))
     return condition(gp)
@@ -107,7 +161,7 @@ def predict(gp: PaddedGP, Xtest):
     Ks = Ks * m[:, None]
 
     mean = Ks.T @ gp.alpha
-    v = jax.scipy.linalg.solve_triangular(gp.L, Ks, lower=True)
+    v = jnp.dot(gp.Linv, Ks, precision=_HI)
     amp = jnp.exp(gp.params["log_amp"])
     var = amp + gp.yerr ** 2 - jnp.sum(v * v, axis=0)
     return mean.T, var
@@ -125,16 +179,19 @@ def append(gp: PaddedGP, x_new, y_new) -> PaddedGP:
     m = _row_mask(cap, idx, k_vec.dtype)
     k_vec = k_vec * m                              # only active rows
 
-    w = jax.scipy.linalg.solve_triangular(gp.L, k_vec, lower=True)
+    w = jnp.dot(gp.Linv, k_vec, precision=_HI)
     amp = jnp.exp(gp.params["log_amp"])
     dval = jnp.sqrt(jnp.maximum(amp + gp.yerr ** 2 - w @ w, 1e-12))
 
-    # new row of L at position idx; the (idx, idx) diagonal replaces the
-    # identity padding entry
-    L = gp.L.at[idx, :].set(w).at[idx, idx].set(dval)
-    alpha = jax.scipy.linalg.cho_solve((L, True), Y)
+    # new row of Linv at position idx replaces that row's identity
+    # padding: L_new = [[L, 0], [w^T, d]] inverts to
+    # [[Linv, 0], [-(Linv^T w)^T / d, 1/d]]; w has zeros in padding rows,
+    # so (Linv^T w)[idx:] = 0 and only the [idx, idx] entry needs fixing.
+    bottom = -jnp.dot(gp.Linv.T, w, precision=_HI) / dval
+    Linv = gp.Linv.at[idx, :].set(bottom).at[idx, idx].set(1. / dval)
+    alpha, _ = _weights_from_inv(Linv, Y)
 
-    return gp._replace(X=X, Y=Y, count=idx + 1, L=L, alpha=alpha)
+    return gp._replace(X=X, Y=Y, count=idx + 1, Linv=Linv, alpha=alpha)
 
 
 def refit(gp: PaddedGP, steps=50, lr=0.05) -> PaddedGP:
@@ -144,7 +201,8 @@ def refit(gp: PaddedGP, steps=50, lr=0.05) -> PaddedGP:
 
     def body(carry, _):
         params, opt_state = carry
-        grad = jax.grad(masked_nlml)(params, gp.X, gp.Y, gp.count, gp.yerr)
+        _, grad = masked_nlml_value_and_grad(params, gp.X, gp.Y,
+                                             gp.count, gp.yerr)
         updates, opt_state = opt.update(grad, opt_state)
         return (optax.apply_updates(params, updates), opt_state), None
 

