@@ -36,7 +36,11 @@ asserted by tests/test_closures_opt.py; equivalence of the kernel with
 the XLA fused step by tests/test_pallas.py.
 
 Scope: fully periodic boundaries (the production large-grid case: journal
-and asperity topographies); other BCs take the XLA fused path.
+and asperity topographies) and per-edge uniform Dirichlet/Neumann edges,
+with any EOS and optional piezoviscosity (per-cell eta in-kernel).  Shear
+thinning keeps the XLA path: its shear rate uses np.gradient's one-sided
+stencil AT the ghost rows (reference semantics), which a ghost-free
+kernel layout cannot reproduce exactly.
 """
 
 from functools import lru_cache, partial
@@ -49,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.integrate import hyperbolicFlux, diffusiveFlux, source
 from ..core.step import det_closures
 from ..models.eos import eos_pressure
+from ..models.viscosity import piezoviscosity
 from ..models.closures_opt import (fused_pass_top_pre, precompute_statics,
                                    N_STATIC)
 
@@ -74,17 +79,25 @@ def _edges_uniform(cfg):
 
 def pallas_supported(cfg, ny=128):
     """Kernel coverage: static pass order, lane-aligned width, and edge
-    specs that are per-edge uniformly periodic or non-periodic (the
-    boundary variant additionally needs the factored Newtonian physics)."""
+    specs that are per-edge uniformly periodic or non-periodic.
+
+    Shear thinning is excluded: its shear rate comes from np.gradient of
+    the pressure over the ghost-INCLUSIVE array (reference semantics,
+    core.step.effective_viscosity), whose one-sided stencil AT the ghost
+    rows feeds the flux differences of the first/last interior cells.
+    The ghost-free kernel layouts cannot reproduce that exactly, so
+    thinning configurations keep the (still fused) XLA path.
+    Piezoviscosity is purely elementwise and runs in-kernel exactly.
+    """
     if cfg.MC_order == 0 or ny % 128 != 0 or not _edges_uniform(cfg):
         return False
-    if not _fully_periodic(cfg) and not _fused_applicable(cfg):
+    if cfg.thinning is not None:
         return False
     return True
 
 
 def _fused_applicable(cfg):
-    return cfg.piezo is None and cfg.thinning is None
+    return cfg.thinning is None
 
 
 # ---------------------------------------------------------------------------
@@ -108,15 +121,28 @@ def _one_pass_generic(cfg, q, topo, extra, dt, d, return_upd=False):
     return q - upd
 
 
+def _eta_fused(cfg, rho, p):
+    """Per-cell shear viscosity for the fused kernels (piezoviscous or
+    constant).  Elementwise, so it matches core.step.effective_viscosity
+    exactly for ``cfg.thinning is None``; the cavitation mixture models
+    (Dukler/McAdams, paired with the Bayada EOS) take density instead of
+    pressure, as in the reference (GaPFlow/models/stress.py:306-331)."""
+    if cfg.piezo is None:
+        return cfg.shear
+    arg = rho if cfg.prop["EOS"] == "Bayada" else p
+    return piezoviscosity(arg, cfg.shear, dict(cfg.piezo))
+
+
 def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False):
-    """Newtonian hot path: factored closures + precomputed statics,
-    unstacked component updates.  ``return_upd`` returns the raw update
-    terms ``u`` (with ``q_new = q - u``) instead of the updated state —
-    used by the delta-emitting kernels, where the small ``u`` must not be
-    rounded into the large absolute state."""
+    """Newtonian/piezoviscous hot path: factored closures + precomputed
+    statics, unstacked component updates.  ``return_upd`` returns the raw
+    update terms ``u`` (with ``q_new = q - u``) instead of the updated
+    state — used by the delta-emitting kernels, where the small ``u`` must
+    not be rounded into the large absolute state."""
     p = eos_pressure(q0, cfg.prop)
+    eta = _eta_fused(cfg, q0, p)
     tb_xx, tb_yy, tb_xy, S0, S1, S2 = fused_pass_top_pre(
-        q0, q1, q2, st, cfg.U, cfg.V, cfg.shear, cfg.bulk)
+        q0, q1, q2, st, cfg.U, cfg.V, eta, cfg.bulk)
 
     rdx = 1. / cfg.dx
     rdy = 1. / cfg.dy
@@ -623,9 +649,11 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         kernel = partial(_kernel_fused, cfg, bs, d0, d1, emit_delta)
 
         # whole-run-in-VMEM loop when the ping-pong state + statics +
-        # per-strip temporaries fit the scoped VMEM budget
+        # per-strip temporaries fit the scoped VMEM budget (piezoviscous
+        # eta adds a few live per-cell temporaries per pass)
+        tmp_coeff = 60 if cfg.piezo is None else 75
         ext_bytes = (nx + 2 * HALO_X) * ny * jnp.dtype(dtype).itemsize
-        vmem_need = (6 + N_STATIC) * ext_bytes + 60 * bs * ny
+        vmem_need = (6 + N_STATIC) * ext_bytes + tmp_coeff * bs * ny
         if vmem_need < 90 * 1024 * 1024:
             def vmem_loop_factory(n_steps):
                 kern = partial(_kernel_fused_vmem, cfg, bs, nx, n_steps,

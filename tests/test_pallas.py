@@ -72,6 +72,88 @@ def test_pallas_step_matches_xla_interpret(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
 
 
+@pytest.mark.parametrize("props", [
+    # Barus piezoviscosity on the DH journal config
+    "    piezo: {name: Barus, aB: 2.e-9}",
+    # Roelands piezoviscosity
+    "    piezo: {name: Roelands, mu_inf: 1.e-3, p_ref: 1.96e8, z: 0.68}",
+])
+def test_pallas_piezo_step_matches_xla_interpret(props):
+    """Piezoviscous (per-cell eta) fused kernel equals the XLA step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_pz = sim + props + "\n"
+    problem = Problem.from_string(sim_pz)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    assert cfg.piezo is not None
+    assert pallas_supported(cfg, problem.grid["Ny"])
+
+    state = problem._make_state()
+    det = make_det_step(cfg, with_aux=False)
+    ref = np.asarray(det(state).q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+        step = make_pallas_step(cfg, 32, 128, bs=16)
+        out = np.asarray(step(state.q, state.topo, state.extra,
+                              state.dt, 0))
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_bayada_mixture_matches_xla_interpret():
+    """Bayada EOS + McAdams mixture viscosity (density-argument piezo
+    branch) through the fused kernel equals the XLA step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_bay = sim.replace("""    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23""", """    EOS: Bayada
+    rho_l: 850.
+    rho_v: 0.019
+    c_l: 1600.
+    c_v: 352.
+    piezo: {name: McAdams, eta_v: 3.9e-5, rho_l: 850., rho_v: 0.019}""")
+    problem = Problem.from_string(sim_bay)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    assert cfg.prop["EOS"] == "Bayada" and cfg.piezo is not None
+    assert pallas_supported(cfg, problem.grid["Ny"])
+
+    state = problem._make_state()
+    det = make_det_step(cfg, with_aux=False)
+    ref = np.asarray(det(state).q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+        step = make_pallas_step(cfg, 32, 128, bs=16)
+        out = np.asarray(step(state.q, state.topo, state.extra,
+                              state.dt, 0))
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+
+
+def test_thinning_not_pallas_supported():
+    """Shear thinning keeps the XLA path (np.gradient ghost-row semantics
+    are not reproducible in the ghost-free kernel layouts)."""
+    sim_th = sim + "    piezo: {name: Barus, aB: 2.e-9}\n" \
+                   "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    problem = Problem.from_string(sim_th)
+    problem._pre_run()
+    assert not pallas_supported(problem._solver_cfg, problem.grid["Ny"])
+
+
 def test_pallas_bc_step_matches_xla_interpret():
     """Boundary-capable kernel variant (D/N edges) in interpret mode."""
     from jax.experimental.pallas import tpu as pltpu

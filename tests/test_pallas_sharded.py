@@ -46,10 +46,19 @@ properties:
 
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
 def test_sharded_pallas_matches_serial(shape):
+    import os
     from jax.experimental.pallas import tpu as pltpu
 
     if len(jax.devices()) < shape[0] * shape[1]:
         pytest.skip("needs 8 virtual devices")
+    if (os.cpu_count() or 1) < shape[0] * shape[1]:
+        # Interpret-mode pallas runs each virtual device's kernel on its
+        # own thread and synchronizes them with a threading.Barrier; with
+        # fewer host cores than mesh devices the XLA CPU client's pool
+        # cannot run all device programs concurrently and the barrier
+        # deadlocks (jax 0.9, interpret_pallas_call._barrier).
+        pytest.skip("interpret-mode sharded pallas needs >= mesh-size "
+                    "host cores")
 
     problem = Problem.from_string(sim)
     problem._pre_run()
