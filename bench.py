@@ -107,7 +107,7 @@ def make_trajectory_steps(cfg, n):
     return run
 
 
-def bench_gp_refit(n_train=2048, n_dims=3, chain=10):
+def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     """GP refit + rank-1 active-learning update latencies at N_train.
 
     refit = kernel build + Cholesky + NLML value/grad + prediction cache,
@@ -116,6 +116,11 @@ def bench_gp_refit(n_train=2048, n_dims=3, chain=10):
     update = rank-1 Cholesky append (gp_append), the per-acquisition cost
     of the active-learning loop.
     Returns (refit_seconds, update_seconds).
+
+    chain=50: the tunneled TPU in this environment adds a fixed ~25-30 ms
+    dispatch cost per jitted CALL (independent of the work inside); the
+    deployment pattern is a fully on-device training loop, so the chain
+    amortizes that per-call cost away, not the per-iteration work.
     """
     import jax
     import jax.numpy as jnp
@@ -148,13 +153,16 @@ def bench_gp_refit(n_train=2048, n_dims=3, chain=10):
         times.append(time.perf_counter() - t0)
     refit_s = float(np.median(times)) / chain
 
-    # rank-1 update, amortized over a chained scan (perturbed y defeats CSE)
+    # rank-1 update, amortized over a chained scan (the carry perturbs both
+    # the targets and the acquisition point so no stage hoists out of the
+    # loop as invariant)
     cache = gp_condition(params, X[:-1], Y[:-1], 0.01)
 
     @jax.jit
     def update_chain(Y):
         def body(y, i):
-            _, (_, alpha, _) = gp_append(params, X[:-1], cache, y, X[-1], 0.01)
+            x_new = X[-1] + y[:n_dims] * 1e-12
+            _, (_, alpha, _) = gp_append(params, X[:-1], cache, y, x_new, 0.01)
             return y + alpha[0] * 1e-12, alpha[0]
         return jax.lax.scan(body, Y, jnp.arange(chain))
 
