@@ -58,6 +58,7 @@ from ..models.closures_opt import (fused_pass_top_pre, precompute_statics,
                                    N_STATIC)
 
 HALO_X = 8   # 2 physics cells + alignment padding (tile-aligned DMA offsets)
+K_MULTI = HALO_X // 2   # steps per sweep of the temporal-blocked kernel
 
 
 def _fully_periodic(cfg):
@@ -370,6 +371,77 @@ def _kernel_fused_ext(cfg, bs, nx, d0, d1,
     cp_out.wait()
 
 
+def _kernel_fused_multi(cfg, bs, nx, k, d0, d1,
+                        dt_ref, q_hbm, st_hbm, out_hbm,
+                        q_loc, st_loc, out_loc, sems):
+    """Temporal-blocked periodic variant: k MacCormack steps per HBM sweep.
+
+    Trapezoid tiling on the x (sublane) axis: each strip loads bs + 2*H
+    rows, advances k full steps entirely in VMEM, and writes back only the
+    bs interior rows.  Each one-sided pass corrupts one more row inward
+    from the strip edge, i.e. 2 rows per step, so the interior stays exact
+    for k <= H/2 steps (H = HALO_X = 8 -> k = 4).  The y axis is whole and
+    periodic (in-kernel rolls), so it never shrinks.
+
+    HBM traffic per k steps: (3 + N_STATIC) channels read + 3 written ~=
+    3.5 channels/step instead of 14 for the one-step kernel — the win for
+    grids whose state exceeds VMEM (2048^2 and up).  In/out are the
+    halo-extended array (first/last strips duplicate edge rows into the
+    opposite halo), like _kernel_fused_ext.
+    """
+    i = pl.program_id(0)
+    n_strips = pl.num_programs(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    cp_q = pltpu.make_async_copy(
+        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
+    cp_s = pltpu.make_async_copy(
+        st_hbm.at[:, pl.ds(x0, rows), :], st_loc, sems.at[1])
+    cp_q.start()
+    cp_s.start()
+    cp_q.wait()
+    cp_s.wait()
+
+    dt = dt_ref[0]
+    st = tuple(st_loc[c] for c in range(N_STATIC))
+    q0, q1, q2 = q_loc[0], q_loc[1], q_loc[2]
+
+    for _ in range(k):
+        a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+        a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+        q0 = (a + q0) / 2.
+        q1 = (b + q1) / 2.
+        q2 = (c + q2) / 2.
+
+    sl = slice(HALO_X, HALO_X + bs)
+    out_loc[0] = q0[sl]
+    out_loc[1] = q1[sl]
+    out_loc[2] = q2[sl]
+
+    cp_out = pltpu.make_async_copy(
+        out_loc, out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[2])
+    cp_out.start()
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_loc.at[:, pl.ds(0, HALO_X), :],
+            out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[3])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == n_strips - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_loc.at[:, pl.ds(bs - HALO_X, HALO_X), :],
+            out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[3])
+        cp.start()
+        cp.wait()
+
+    cp_out.wait()
+
+
 def _kernel_fused_vmem(cfg, bs, nx, n_steps, d0, d1,
                        dt_ref, q_hbm, st_hbm, out_hbm, qA, qB, st_loc,
                        sems):
@@ -632,7 +704,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             out = jnp.zeros_like(q_like).at[:, 1:-1, 1:-1].set(q_int)
             return apply_bcs(out, cfg)
 
-        return call, extend, reassemble, fused, ext_step, None, None
+        return call, extend, reassemble, fused, ext_step, None, None, None
 
     def extend(arr):
         return _extend_interior(arr[:, 1:-1, 1:-1])
@@ -644,6 +716,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         return _reassemble(q_like, q_int)
 
     call_ext = None
+    call_multi = None
     vmem_loop_factory = None
     if fused:
         kernel = partial(_kernel_fused, cfg, bs, d0, d1, emit_delta)
@@ -702,6 +775,30 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 compiler_params=params,
             )(dt, q_ext, stat_ext)
 
+        # temporal-blocked variant: K_MULTI steps per HBM sweep (the win
+        # when the state exceeds VMEM and the vmem loop is unavailable)
+        kernel_multi = partial(_kernel_fused_multi, cfg, bs, nx,
+                               K_MULTI, d0, d1)
+
+        def call_multi(q_ext, stat_ext, dt):
+            return pl.pallas_call(
+                kernel_multi,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((3, nx + 2 * HALO_X, ny),
+                                               dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((3, rows, ny), dtype),
+                    pltpu.VMEM((N_STATIC, rows, ny), dtype),
+                    pltpu.VMEM((3, bs, ny), dtype),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
+                grid=grid,
+                compiler_params=params,
+            )(dt, q_ext, stat_ext)
+
         def call(q_ext, stat_ext, dt):
             return pl.pallas_call(
                 kernel,
@@ -734,7 +831,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             )(dt, q_ext, topo_ext, extra_ext)
 
     return (call, extend, reassemble, fused, ext_step, call_ext,
-            vmem_loop_factory)
+            vmem_loop_factory, call_multi)
 
 
 @lru_cache(maxsize=16)
@@ -744,8 +841,7 @@ def make_pallas_step(cfg, nx, ny, bs=None, dtype=jnp.float32):
     Matches :func:`gapflow_tpu.core.step.make_det_step` for periodic
     problems (minus residual/validity bookkeeping).
     """
-    call, extend, reassemble, fused, _, _, _ = _make_call(cfg, nx, ny, bs,
-                                                          dtype)
+    call, extend, reassemble, fused = _make_call(cfg, nx, ny, bs, dtype)[:4]
 
     @jax.jit
     def step(q, topo, extra, dt, step_idx):
@@ -792,8 +888,8 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     underflow plain f32 updates — see examples/validate_f32_production.py.
     Costs four elementwise adds per step outside the kernel.
     """
-    call, extend, reassemble, fused, ext_step, call_ext, vmem_factory = \
-        _make_call(cfg, nx, ny, bs, dtype, compensated)
+    (call, extend, reassemble, fused, ext_step, call_ext, vmem_factory,
+     call_multi) = _make_call(cfg, nx, ny, bs, dtype, compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, topo, extra, dt, n_steps):
@@ -828,11 +924,20 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2, :]
         elif call_ext is not None:
             # extended-array carry: the kernel maintains the halos itself,
-            # removing the per-step halo-concatenation pass
-            def body(i, q_ext):
-                return call_ext(q_ext, *args, dt)
-
-            q_ext = jax.lax.fori_loop(0, n_steps, body, extend(q))
+            # removing the per-step halo-concatenation pass; full sweeps
+            # go through the temporal-blocked kernel (K_MULTI steps per
+            # HBM round-trip), the remainder through the one-step kernel
+            q_ext = extend(q)
+            n_sweeps, n_rem = divmod(n_steps, K_MULTI)
+            if call_multi is not None and n_sweeps > 0:
+                q_ext = jax.lax.fori_loop(
+                    0, n_sweeps,
+                    lambda i, qe: call_multi(qe, *args, dt), q_ext)
+            else:
+                n_rem = n_steps
+            if n_rem > 0:
+                q_ext = jax.lax.fori_loop(
+                    0, n_rem, lambda i, qe: call_ext(qe, *args, dt), q_ext)
             q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2, :]
         else:
             def body(i, q_int):

@@ -224,3 +224,35 @@ def test_pallas_compensated_loop_matches_plain():
     out_p, out_c = outs[jnp.float32]
     assert np.all(np.isfinite(out_c))
     np.testing.assert_allclose(out_c, out_p, rtol=5e-3, atol=1e-6)
+
+
+def test_pallas_multi_step_matches_ext():
+    """Temporal-blocked kernel (K_MULTI steps/sweep) equals K_MULTI
+    applications of the one-step extended-carry kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil._make_call.cache_clear()
+        (call, extend, reassemble, fused, ext_step, call_ext, _,
+         call_multi) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        assert fused and call_ext is not None and call_multi is not None
+
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        q_ext = extend(state.q.astype(jnp.float32))
+
+        ref = q_ext
+        for _ in range(stencil.K_MULTI):
+            ref = call_ext(ref, stat_ext, dt)
+        out = call_multi(q_ext, stat_ext, dt)
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-8)
