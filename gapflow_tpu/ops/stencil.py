@@ -271,6 +271,311 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
         out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
 
 
+def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
+                           dt_ref, q_hbm, st_hbm, outA, outB,
+                           q_loc, st_loc, out_loc, sems):
+    """Whole-run temporal-blocked variant for VMEM-exceeding grids: the
+    full n_sweeps*k-step loop runs in ONE pallas_call, ping-ponging the
+    halo-extended state between two HBM buffers (sweep s reads q_hbm for
+    s=0 else the previous sweep's output, writes outA for even s, outB
+    for odd s).  Each (sweep, strip) grid cell advances its strip k steps
+    in VMEM exactly like :func:`_kernel_fused_multi`, double-buffered by
+    global iteration parity.
+
+    Why one call: besides kernel-launch overhead, a lax.fori_loop of
+    pallas_calls pays a fixed per-iteration dispatch cost (milliseconds
+    through a tunneled device) that dominates the actual sweep time at
+    2048^2; folding the loop into the grid pays it once per run.
+
+    Synchronization invariants (grid iterates sequentially on the core,
+    sweep-major):
+    - input slot g%2 (g = s*n_strips + i) is overwritten by the prefetch
+      issued at iteration g-1, whose previous occupant (g-2) was consumed
+      at g-2;
+    - within a sweep, iteration (s,i) top-prefetches (s,i+1) from the
+      stable read buffer;
+    - the LAST strip of each sweep drains all outstanding output DMAs,
+      then prefetches (s+1, 0) from the just-completed write buffer, so
+      cross-sweep reads never race writes;
+    - out DMA of (s,j) is waited at (s,j+2) before its slot's reuse for
+      j <= n_strips-3, and by the sweep drain for the last two strips.
+    """
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    g = s * n_strips + i
+    rows = bs + 2 * HALO_X
+
+    def start_in(slot, src, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        pltpu.make_async_copy(src.at[:, pl.ds(x0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).start()
+
+    def wait_in(slot):
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).wait()
+
+    def out_copy(slot, dst, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        return pltpu.make_async_copy(
+            out_loc.at[slot],
+            dst.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
+
+    def wait_out(slot):
+        out_copy(slot, outA, 0).wait()
+
+    def with_src(fn):
+        """Run fn(read_buffer) under the sweep-parity dispatch."""
+        @pl.when(s == 0)
+        def _():
+            fn(q_hbm)
+
+        @pl.when((s > 0) & (s % 2 == 1))
+        def _():
+            fn(outA)
+
+        @pl.when((s > 0) & (s % 2 == 0))
+        def _():
+            fn(outB)
+
+    def with_dst(fn):
+        @pl.when(s % 2 == 0)
+        def _():
+            fn(outA)
+
+        @pl.when(s % 2 == 1)
+        def _():
+            fn(outB)
+
+    # --- input prefetches -------------------------------------------------
+    @pl.when(g == 0)
+    def _():
+        start_in(0, q_hbm, 0)
+        if n_strips > 1:
+            start_in(1, q_hbm, 1)
+
+    if n_strips > 2:
+        # top prefetch of (s, i+1) for 1 <= i <= n_strips-2 ((s, 0) and
+        # (s, 1) are covered by the g==0 block / the sweep-boundary block)
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 0))
+        def _():
+            with_src(lambda src: start_in(1, src, i + 1))
+
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 1))
+        def _():
+            with_src(lambda src: start_in(0, src, i + 1))
+
+    dt = dt_ref[0]
+
+    def advance(slot):
+        wait_in(slot)
+        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
+        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+
+        for _ in range(k):
+            a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+            a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+            q0 = (a + q0) / 2.
+            q1 = (b + q1) / 2.
+            q2 = (c + q2) / 2.
+
+        # slot-reuse guard: this slot's previous out DMA (iteration g-2,
+        # same sweep — cross-sweep ones were drained at the boundary)
+        @pl.when(i >= 2)
+        def _():
+            wait_out(slot)
+
+        sl = slice(HALO_X, HALO_X + bs)
+        out_loc[slot, 0] = q0[sl]
+        out_loc[slot, 1] = q1[sl]
+        out_loc[slot, 2] = q2[sl]
+        with_dst(lambda dst: out_copy(slot, dst, i).start())
+
+        # periodic halo images (tiny, waited inline)
+        @pl.when(i == 0)
+        def _():
+            def halo(dst):
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(0, HALO_X), :],
+                    dst.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[6])
+                cp.start()
+                cp.wait()
+            with_dst(halo)
+
+        @pl.when(i == n_strips - 1)
+        def _():
+            def halo(dst):
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(bs - HALO_X, HALO_X), :],
+                    dst.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+                cp.start()
+                cp.wait()
+            with_dst(halo)
+
+        # sweep-boundary drain + cross-sweep prefetch
+        @pl.when(i == n_strips - 1)
+        def _():
+            wait_out(slot)
+            if n_strips > 1:
+                wait_out(1 - slot)
+
+            @pl.when(s + 1 < n_sweeps)
+            def _():
+                # next sweep reads what this sweep wrote; (s+1, 0) lands
+                # in slot (g+1)%2 = 1-slot, (s+1, 1) back in this slot
+                # (whose compute is done)
+                with_dst(lambda dst: start_in(1 - slot, dst, 0))
+                if n_strips > 1:
+                    with_dst(lambda dst: start_in(slot, dst, 1))
+
+    @pl.when(g % 2 == 0)
+    def _():
+        advance(0)
+
+    @pl.when(g % 2 == 1)
+    def _():
+        advance(1)
+
+
+def _kernel_fused_bc_multi(cfg, bs, nx, ny, n_strips, k, per_x, d0, d1,
+                           dt_ref, q_hbm, st_hbm, out_hbm,
+                           q_loc, st_loc, out_loc, sems):
+    """Temporal-blocked boundary variant: k steps per HBM sweep on the
+    ghost-explicit layout, with cross-strip double buffering.
+
+    Same trapezoid tiling as :func:`_kernel_fused_multi` on the x axis,
+    but ghost rows/cols are REFILLED in-kernel after every pass and after
+    every temporal average (the same `_refill_ghosts` formulas as the
+    one-step boundary kernel, so the interiors are bit-equal).  Domain
+    edges consume no halo — the ghost refill resets the adjacent row
+    exactly each pass — so only inter-strip edges shrink (2 rows/step,
+    k <= HALO_X/2).  In/out is the halo-extended (3, nx+2H, W) array:
+    interior strips write their bs rows; the first/last strips also write
+    their H-row halo blocks (periodic wrap images when per_x, refreshed
+    ghost rows otherwise — deeper halo rows are garbage and never read).
+    """
+    i = pl.program_id(0)
+    rows = bs + 2 * HALO_X
+
+    def start_in(slot, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(x0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).start()
+
+    def wait_in(slot):
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).wait()
+
+    def out_copy(slot, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        return pltpu.make_async_copy(
+            out_loc.at[slot, :, pl.ds(HALO_X, bs), :],
+            out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
+
+    @pl.when(i == 0)
+    def _():
+        start_in(0, 0)
+
+    if n_strips > 1:
+        @pl.when(i == 0)
+        def _():
+            start_in(1, 1)
+
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 0))
+        def _():
+            start_in(1, i + 1)
+
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 1))
+        def _():
+            start_in(0, i + 1)
+
+    dt = dt_ref[0]
+
+    def advance(slot):
+        wait_in(slot)
+        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
+        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+
+        for _ in range(k):
+            comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+            comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
+            a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
+            q0 = (a + q0) / 2.
+            q1 = (b + q1) / 2.
+            q2 = (c + q2) / 2.
+            q0, q1, q2 = _refill_ghosts(cfg, (q0, q1, q2), bs, ny, i,
+                                        n_strips)
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(slot, 0).wait()
+
+        out_loc[slot, 0] = q0
+        out_loc[slot, 1] = q1
+        out_loc[slot, 2] = q2
+        out_copy(slot, i).start()
+
+        # halo blocks (tiny transfers, waited inline)
+        if per_x:
+            # periodic wrap images, as in the periodic multi kernel
+            @pl.when(i == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(HALO_X, HALO_X), :],
+                    out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :],
+                    sems.at[6])
+                cp.start()
+                cp.wait()
+
+            @pl.when(i == n_strips - 1)
+            def _():
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(bs, HALO_X), :],
+                    out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+                cp.start()
+                cp.wait()
+        else:
+            # refreshed ghost row lives at local row H-1 / H+bs; write the
+            # whole 8-aligned halo block (deeper rows are dead)
+            @pl.when(i == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(0, HALO_X), :],
+                    out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+                cp.start()
+                cp.wait()
+
+            @pl.when(i == n_strips - 1)
+            def _():
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(HALO_X + bs, HALO_X), :],
+                    out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :],
+                    sems.at[6])
+                cp.start()
+                cp.wait()
+
+        @pl.when(i == n_strips - 1)
+        def _():
+            out_copy(slot, 0).wait()
+            if n_strips > 1:
+                out_copy(1 - slot, 0).wait()
+
+    @pl.when(i % 2 == 0)
+    def _():
+        advance(0)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        advance(1)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -371,10 +676,11 @@ def _kernel_fused_ext(cfg, bs, nx, d0, d1,
     cp_out.wait()
 
 
-def _kernel_fused_multi(cfg, bs, nx, k, d0, d1,
+def _kernel_fused_multi(cfg, bs, nx, n_strips, k, d0, d1,
                         dt_ref, q_hbm, st_hbm, out_hbm,
                         q_loc, st_loc, out_loc, sems):
-    """Temporal-blocked periodic variant: k MacCormack steps per HBM sweep.
+    """Temporal-blocked periodic variant: k MacCormack steps per HBM sweep,
+    with cross-strip double buffering.
 
     Trapezoid tiling on the x (sublane) axis: each strip loads bs + 2*H
     rows, advances k full steps entirely in VMEM, and writes back only the
@@ -388,58 +694,115 @@ def _kernel_fused_multi(cfg, bs, nx, k, d0, d1,
     grids whose state exceeds VMEM (2048^2 and up).  In/out are the
     halo-extended array (first/last strips duplicate edge rows into the
     opposite halo), like _kernel_fused_ext.
+
+    Pipelining: inputs and outputs are double-buffered by strip parity, so
+    strip i+1's input DMA overlaps strip i's k-step compute and the output
+    DMA drains while the next strip computes — without this the kernel
+    stalls on every strip's input round-trip (measured: 8.6e9 -> stalled
+    vs compute ceiling ~13e9 cell-updates/s at 2048^2).
     """
     i = pl.program_id(0)
-    n_strips = pl.num_programs(0)
-    x0 = pl.multiple_of(i * bs, 8)
     rows = bs + 2 * HALO_X
 
-    cp_q = pltpu.make_async_copy(
-        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
-    cp_s = pltpu.make_async_copy(
-        st_hbm.at[:, pl.ds(x0, rows), :], st_loc, sems.at[1])
-    cp_q.start()
-    cp_s.start()
-    cp_q.wait()
-    cp_s.wait()
+    def start_in(slot, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(x0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).start()
 
-    dt = dt_ref[0]
-    st = tuple(st_loc[c] for c in range(N_STATIC))
-    q0, q1, q2 = q_loc[0], q_loc[1], q_loc[2]
+    def wait_in(slot):
+        # reconstructed descriptors: .wait() only needs the transfer size
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).wait()
 
-    for _ in range(k):
-        a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
-        a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
-        q0 = (a + q0) / 2.
-        q1 = (b + q1) / 2.
-        q2 = (c + q2) / 2.
-
-    sl = slice(HALO_X, HALO_X + bs)
-    out_loc[0] = q0[sl]
-    out_loc[1] = q1[sl]
-    out_loc[2] = q2[sl]
-
-    cp_out = pltpu.make_async_copy(
-        out_loc, out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[2])
-    cp_out.start()
+    def out_copy(slot, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        return pltpu.make_async_copy(
+            out_loc.at[slot],
+            out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
 
     @pl.when(i == 0)
     def _():
-        cp = pltpu.make_async_copy(
-            out_loc.at[:, pl.ds(0, HALO_X), :],
-            out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[3])
-        cp.start()
-        cp.wait()
+        start_in(0, 0)
 
-    @pl.when(i == n_strips - 1)
+    if n_strips > 1:
+        @pl.when(i == 0)
+        def _():
+            start_in(1, 1)
+
+        # iteration i >= 1 prefetches strip i+1 into slot (i+1) % 2,
+        # overwriting strip i-1's input (consumed one iteration ago)
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 0))
+        def _():
+            start_in(1, i + 1)
+
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 1))
+        def _():
+            start_in(0, i + 1)
+
+    dt = dt_ref[0]
+
+    def advance(slot):
+        wait_in(slot)
+        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
+        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+
+        for _ in range(k):
+            a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+            a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+            q0 = (a + q0) / 2.
+            q1 = (b + q1) / 2.
+            q2 = (c + q2) / 2.
+
+        # this slot's out buffer is in flight for strip i-2 until its
+        # DMA completes
+        @pl.when(i >= 2)
+        def _():
+            out_copy(slot, 0).wait()
+
+        sl = slice(HALO_X, HALO_X + bs)
+        out_loc[slot, 0] = q0[sl]
+        out_loc[slot, 1] = q1[sl]
+        out_loc[slot, 2] = q2[sl]
+        out_copy(slot, i).start()
+
+        # periodic halo images (tiny transfers, waited inline): interior
+        # rows [0, H) -> top halo, interior rows [nx-H, nx) -> bottom halo
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                out_loc.at[slot, :, pl.ds(0, HALO_X), :],
+                out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[6])
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == n_strips - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                out_loc.at[slot, :, pl.ds(bs - HALO_X, HALO_X), :],
+                out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+            cp.start()
+            cp.wait()
+
+        # drain: the final iteration waits its own output DMA plus the
+        # previous iteration's (other slot); every other copy j is waited
+        # at iteration j+2 when its slot is reused
+        @pl.when(i == n_strips - 1)
+        def _():
+            out_copy(slot, 0).wait()
+            if n_strips > 1:
+                out_copy(1 - slot, 0).wait()
+
+    @pl.when(i % 2 == 0)
     def _():
-        cp = pltpu.make_async_copy(
-            out_loc.at[:, pl.ds(bs - HALO_X, HALO_X), :],
-            out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[3])
-        cp.start()
-        cp.wait()
+        advance(0)
 
-    cp_out.wait()
+    @pl.when(i % 2 == 1)
+    def _():
+        advance(1)
 
 
 def _kernel_fused_vmem(cfg, bs, nx, n_steps, d0, d1,
@@ -704,7 +1067,30 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             out = jnp.zeros_like(q_like).at[:, 1:-1, 1:-1].set(q_int)
             return apply_bcs(out, cfg)
 
-        return call, extend, reassemble, fused, ext_step, None, None, None
+        kernel_bc_multi = partial(_kernel_fused_bc_multi, cfg, bs, nx, ny,
+                                  grid[0], K_MULTI, per_x, d0, d1)
+
+        def call_multi(q_ext, stat_ext, dt):
+            return pl.pallas_call(
+                kernel_bc_multi,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((3, nx + 2 * HALO_X, W),
+                                               dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 3, rows, W), dtype),
+                    pltpu.VMEM((2, N_STATIC, rows, W), dtype),
+                    pltpu.VMEM((2, 3, rows, W), dtype),
+                    pltpu.SemaphoreType.DMA((7,)),
+                ],
+                grid=grid,
+                compiler_params=params,
+            )(dt, q_ext, stat_ext)
+
+        return (call, extend, reassemble, fused, ext_step, None, None,
+                call_multi, None)
 
     def extend(arr):
         return _extend_interior(arr[:, 1:-1, 1:-1])
@@ -718,6 +1104,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
     call_ext = None
     call_multi = None
     vmem_loop_factory = None
+    hbm_loop_factory = None
     if fused:
         kernel = partial(_kernel_fused, cfg, bs, d0, d1, emit_delta)
 
@@ -778,7 +1165,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         # temporal-blocked variant: K_MULTI steps per HBM sweep (the win
         # when the state exceeds VMEM and the vmem loop is unavailable)
         kernel_multi = partial(_kernel_fused_multi, cfg, bs, nx,
-                               K_MULTI, d0, d1)
+                               nx // bs, K_MULTI, d0, d1)
 
         def call_multi(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -790,14 +1177,44 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 out_shape=jax.ShapeDtypeStruct((3, nx + 2 * HALO_X, ny),
                                                dtype),
                 scratch_shapes=[
-                    pltpu.VMEM((3, rows, ny), dtype),
-                    pltpu.VMEM((N_STATIC, rows, ny), dtype),
-                    pltpu.VMEM((3, bs, ny), dtype),
-                    pltpu.SemaphoreType.DMA((4,)),
+                    pltpu.VMEM((2, 3, rows, ny), dtype),
+                    pltpu.VMEM((2, N_STATIC, rows, ny), dtype),
+                    pltpu.VMEM((2, 3, bs, ny), dtype),
+                    pltpu.SemaphoreType.DMA((7,)),
                 ],
                 grid=grid,
                 compiler_params=params,
             )(dt, q_ext, stat_ext)
+
+        # whole-run HBM ping-pong loop: n_sweeps*K_MULTI steps in ONE
+        # pallas_call (the fastest >VMEM layout: no per-iteration dispatch)
+        def hbm_loop_factory(n_sweeps):
+            kern = partial(_kernel_fused_hbm_loop, cfg, bs, nx, nx // bs,
+                           n_sweeps, K_MULTI, d0, d1)
+            ext_shape = (3, nx + 2 * HALO_X, ny)
+
+            def call_hbm(q_ext, stat_ext, dt):
+                outs = pl.pallas_call(
+                    kern,
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              pl.BlockSpec(memory_space=pl.ANY),
+                              pl.BlockSpec(memory_space=pl.ANY)],
+                    out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                               pl.BlockSpec(memory_space=pl.ANY)],
+                    out_shape=[jax.ShapeDtypeStruct(ext_shape, dtype),
+                               jax.ShapeDtypeStruct(ext_shape, dtype)],
+                    scratch_shapes=[
+                        pltpu.VMEM((2, 3, rows, ny), dtype),
+                        pltpu.VMEM((2, N_STATIC, rows, ny), dtype),
+                        pltpu.VMEM((2, 3, bs, ny), dtype),
+                        pltpu.SemaphoreType.DMA((7,)),
+                    ],
+                    grid=(n_sweeps, grid[0]),
+                    compiler_params=params,
+                )(dt, q_ext, stat_ext)
+                return outs[(n_sweeps - 1) % 2]
+
+            return call_hbm
 
         def call(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -831,7 +1248,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             )(dt, q_ext, topo_ext, extra_ext)
 
     return (call, extend, reassemble, fused, ext_step, call_ext,
-            vmem_loop_factory, call_multi)
+            vmem_loop_factory, call_multi, hbm_loop_factory)
 
 
 @lru_cache(maxsize=16)
@@ -889,7 +1306,8 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     Costs four elementwise adds per step outside the kernel.
     """
     (call, extend, reassemble, fused, ext_step, call_ext, vmem_factory,
-     call_multi) = _make_call(cfg, nx, ny, bs, dtype, compensated)
+     call_multi, hbm_factory) = _make_call(cfg, nx, ny, bs, dtype,
+                                           compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, topo, extra, dt, n_steps):
@@ -929,7 +1347,9 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             # HBM round-trip), the remainder through the one-step kernel
             q_ext = extend(q)
             n_sweeps, n_rem = divmod(n_steps, K_MULTI)
-            if call_multi is not None and n_sweeps > 0:
+            if hbm_factory is not None and n_sweeps > 1:
+                q_ext = hbm_factory(n_sweeps)(q_ext, *args, dt)
+            elif call_multi is not None and n_sweeps > 0:
                 q_ext = jax.lax.fori_loop(
                     0, n_sweeps,
                     lambda i, qe: call_multi(qe, *args, dt), q_ext)
@@ -940,10 +1360,24 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
                     0, n_rem, lambda i, qe: call_ext(qe, *args, dt), q_ext)
             q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2, :]
         else:
+            # interior carry (boundary-condition configs): full sweeps go
+            # through the temporal-blocked ghost-refilling kernel when
+            # available, the remainder re-extends per step
+            n_sweeps, n_rem = divmod(n_steps, K_MULTI)
+            if call_multi is not None and fused and n_sweeps > 0:
+                q_ext = jax.lax.fori_loop(
+                    0, n_sweeps,
+                    lambda i, qe: call_multi(qe, *args, dt), extend(q))
+                q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2,
+                              :q.shape[2] - 2]
+            else:
+                n_rem = n_steps
+                q_int = q[:, 1:-1, 1:-1]
+
             def body(i, q_int):
                 return call(ext_step(q_int), *args, dt)
 
-            q_int = jax.lax.fori_loop(0, n_steps, body, q[:, 1:-1, 1:-1])
+            q_int = jax.lax.fori_loop(0, n_rem, body, q_int)
         return reassemble(q, q_int)
 
     return loop

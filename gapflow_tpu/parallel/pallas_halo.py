@@ -82,7 +82,7 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
     bx, by = nx // px, ny // py
     W = _pad_width(by)
 
-    call, _, _, fused, _, _, _ = _make_call(cfg, bx, W, None, dtype)
+    call, _, _, fused = _make_call(cfg, bx, W, None, dtype)[:4]
     assert fused
 
     def local_loop(q, topo2, extra2, dt, n_steps):

@@ -240,7 +240,7 @@ def test_pallas_multi_step_matches_ext():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, call_ext, _,
-         call_multi) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+         call_multi, _) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert fused and call_ext is not None and call_multi is not None
 
         stat_ext = extend(stencil._statics_ghosted(
@@ -256,3 +256,123 @@ def test_pallas_multi_step_matches_ext():
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_bc_multi_step_matches_onestep():
+    """Temporal-blocked boundary kernel equals K_MULTI applications of the
+    one-step boundary kernel + per-step extension."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_bc = sim.replace(
+        """    Nx: 32
+    Ny: 128""",
+        """    Nx: 32
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007""")
+
+    problem = Problem.from_string(sim_bc)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil._make_call.cache_clear()
+        (call, extend, reassemble, fused, ext_step, call_ext, vmem_f,
+         call_multi, _) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        assert fused and call_ext is None and call_multi is not None
+
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        qf = state.q.astype(jnp.float32)
+
+        q_int = qf[:, 1:-1, 1:-1]
+        for _ in range(stencil.K_MULTI):
+            q_int = call(ext_step(q_int), stat_ext, dt)
+
+        out_ext = call_multi(extend(qf), stat_ext, dt)
+        out_int = out_ext[:, stencil.HALO_X:stencil.HALO_X + 32, :128]
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(out_int), np.asarray(q_int),
+                               rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_loop_bc_matches_per_step():
+    """make_pallas_loop on a D/N config (multi + remainder dispatch)
+    equals per-step application of the boundary kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_bc = sim.replace(
+        """    Nx: 32
+    Ny: 128""",
+        """    Nx: 32
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007""")
+
+    problem = Problem.from_string(sim_bc)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+        loop = stencil.make_pallas_loop(cfg, 32, 128, bs=16)
+        out = np.asarray(loop(state.q, state.topo, state.extra,
+                              state.dt, 6))
+
+        (call, extend, reassemble, fused, ext_step, *_rest) = \
+            stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        q_int = state.q.astype(jnp.float32)[:, 1:-1, 1:-1]
+        for _ in range(6):
+            q_int = call(ext_step(q_int), stat_ext, dt)
+        ref = np.asarray(reassemble(state.q.astype(jnp.float32), q_int))
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_hbm_loop_matches_ext():
+    """Whole-run HBM ping-pong kernel (n_sweeps in one pallas_call)
+    equals n_sweeps*K_MULTI one-step kernel applications."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil._make_call.cache_clear()
+        (call, extend, reassemble, fused, ext_step, call_ext, _, _,
+         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        assert hbm_factory is not None
+
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        q_ext = extend(state.q.astype(jnp.float32))
+
+        for n_sweeps in (1, 2, 3):
+            ref = q_ext
+            for _ in range(n_sweeps * stencil.K_MULTI):
+                ref = call_ext(ref, stat_ext, dt)
+            out = hbm_factory(n_sweeps)(q_ext, stat_ext, dt)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=1e-8,
+                                       err_msg=f"n_sweeps={n_sweeps}")
+        stencil._make_call.cache_clear()
