@@ -271,7 +271,43 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
         out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
 
 
+def _advance_plain(cfg, k, d0, d1, chs, st, dt):
+    """k MacCormack steps on a 3-channel strip (plain accumulation)."""
+    q0, q1, q2 = chs
+    for _ in range(k):
+        a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+        a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+        q0 = (a + q0) / 2.
+        q1 = (b + q1) / 2.
+        q2 = (c + q2) / 2.
+    return q0, q1, q2
+
+
+def _advance_comp(cfg, k, d0, d1, chs, st, dt):
+    """k steps on a 6-channel (q, q_lo) strip with in-kernel Kahan
+    accumulation: the step increment is formed at full relative precision
+    (((q* - q) - u)/2, Sterbenz-exact predictor difference) and two-summed
+    into the carry — the same arithmetic, in the same order, as the
+    per-step emit_delta kernel + host Kahan update in make_pallas_loop,
+    so results are bit-equal."""
+    q0, q1, q2, l0, l1, l2 = chs
+    for _ in range(k):
+        a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+        u0, u1, u2 = _one_pass_fused(cfg, a, b, c, st, dt, d1,
+                                     return_upd=True)
+        outs = []
+        for q, pred, u, lo in ((q0, a, u0, l0), (q1, b, u1, l1),
+                               (q2, c, u2, l2)):
+            delta = ((pred - q) - u) / 2.
+            y = delta + lo
+            t = q + y
+            outs.append((t, y - (t - q)))
+        (q0, l0), (q1, l1), (q2, l2) = outs
+    return q0, q1, q2, l0, l1, l2
+
+
 def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
+                           advance_chs, nch,
                            dt_ref, q_hbm, st_hbm, outA, outB,
                            q_loc, st_loc, out_loc, sems):
     """Whole-run temporal-blocked variant for VMEM-exceeding grids: the
@@ -373,14 +409,9 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
     def advance(slot):
         wait_in(slot)
         st = tuple(st_loc[slot, c] for c in range(N_STATIC))
-        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+        chs = tuple(q_loc[slot, c] for c in range(nch))
 
-        for _ in range(k):
-            a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
-            a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
-            q0 = (a + q0) / 2.
-            q1 = (b + q1) / 2.
-            q2 = (c + q2) / 2.
+        chs = advance_chs(cfg, k, d0, d1, chs, st, dt)
 
         # slot-reuse guard: this slot's previous out DMA (iteration g-2,
         # same sweep — cross-sweep ones were drained at the boundary)
@@ -389,9 +420,8 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
             wait_out(slot)
 
         sl = slice(HALO_X, HALO_X + bs)
-        out_loc[slot, 0] = q0[sl]
-        out_loc[slot, 1] = q1[sl]
-        out_loc[slot, 2] = q2[sl]
+        for c in range(nch):
+            out_loc[slot, c] = chs[c][sl]
         with_dst(lambda dst: out_copy(slot, dst, i).start())
 
         # periodic halo images (tiny, waited inline)
@@ -1189,9 +1219,13 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         # whole-run HBM ping-pong loop: n_sweeps*K_MULTI steps in ONE
         # pallas_call (the fastest >VMEM layout: no per-iteration dispatch)
         def hbm_loop_factory(n_sweeps):
+            # emit_delta -> compensated whole-run variant: the carry is the
+            # 6-channel (q, q_lo) state, Kahan-accumulated in-kernel
+            nch = 6 if emit_delta else 3
+            advance = _advance_comp if emit_delta else _advance_plain
             kern = partial(_kernel_fused_hbm_loop, cfg, bs, nx, nx // bs,
-                           n_sweeps, K_MULTI, d0, d1)
-            ext_shape = (3, nx + 2 * HALO_X, ny)
+                           n_sweeps, K_MULTI, d0, d1, advance, nch)
+            ext_shape = (nch, nx + 2 * HALO_X, ny)
 
             def call_hbm(q_ext, stat_ext, dt):
                 outs = pl.pallas_call(
@@ -1204,9 +1238,9 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                     out_shape=[jax.ShapeDtypeStruct(ext_shape, dtype),
                                jax.ShapeDtypeStruct(ext_shape, dtype)],
                     scratch_shapes=[
-                        pltpu.VMEM((2, 3, rows, ny), dtype),
+                        pltpu.VMEM((2, nch, rows, ny), dtype),
                         pltpu.VMEM((2, N_STATIC, rows, ny), dtype),
-                        pltpu.VMEM((2, 3, bs, ny), dtype),
+                        pltpu.VMEM((2, nch, bs, ny), dtype),
                         pltpu.SemaphoreType.DMA((7,)),
                     ],
                     grid=(n_sweeps, grid[0]),
@@ -1333,9 +1367,20 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
                 t = q_int + y
                 return t, y - (t - q_int)
 
-            q0 = q[:, 1:-1, 1:-1]
-            q_int, _ = jax.lax.fori_loop(0, n_steps, body,
-                                         (q0, jnp.zeros_like(q0)))
+            n_sweeps, n_rem = divmod(n_steps, K_MULTI)
+            if hbm_factory is not None and n_sweeps > 1:
+                # whole-run Kahan carry in one kernel; the remainder steps
+                # continue the (q, q_lo) carry through the per-step path
+                ext_q = extend(q)
+                carry6 = jnp.concatenate([ext_q, jnp.zeros_like(ext_q)], 0)
+                carry6 = hbm_factory(n_sweeps)(carry6, *args, dt)
+                sl = slice(HALO_X, HALO_X + q.shape[1] - 2)
+                carry = (carry6[:3, sl, :], carry6[3:, sl, :])
+            else:
+                n_rem = n_steps
+                q0 = q[:, 1:-1, 1:-1]
+                carry = (q0, jnp.zeros_like(q0))
+            q_int, _ = jax.lax.fori_loop(0, n_rem, body, carry)
         elif vmem_factory is not None and n_steps > 1:
             # whole run in VMEM: one kernel, HBM touched exactly twice
             q_ext = vmem_factory(n_steps)(extend(q), *args, dt)

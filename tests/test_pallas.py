@@ -208,13 +208,15 @@ def test_pallas_compensated_loop_matches_plain():
         _make_call.cache_clear()
         args = (state.q, state.topo, state.extra, state.dt)
         outs = {}
+        # 10 steps = 2 blocked sweeps (whole-run Kahan kernel) + 2
+        # remainder steps through the per-step delta path
         for dt_ in (jnp.float64, jnp.float32):
             plain = make_pallas_loop(problem._solver_cfg, 32, 128, bs=16,
                                      dtype=dt_)
             comp = make_pallas_loop(problem._solver_cfg, 32, 128, bs=16,
                                     dtype=dt_, compensated=True)
-            outs[dt_] = (np.asarray(plain(*args, 5)),
-                         np.asarray(comp(*args, 5)))
+            outs[dt_] = (np.asarray(plain(*args, 10)),
+                         np.asarray(comp(*args, 10)))
         make_pallas_loop.cache_clear()
         _make_call.cache_clear()
 
@@ -376,3 +378,46 @@ def test_pallas_hbm_loop_matches_ext():
                                        rtol=2e-4, atol=1e-8,
                                        err_msg=f"n_sweeps={n_sweeps}")
         stencil._make_call.cache_clear()
+
+
+def test_pallas_comp_hbm_matches_per_step():
+    """Compensated whole-run kernel (in-kernel Kahan, 6-channel carry)
+    equals the per-step emit_delta + host-Kahan path bit for bit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil._make_call.cache_clear()
+        (call, extend, reassemble, fused, ext_step, _, _, _, hbm_factory) \
+            = stencil._make_call(cfg, 32, 128, 16, jnp.float32, True)
+        assert hbm_factory is not None
+
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        qf = state.q.astype(jnp.float32)
+
+        q_int = qf[:, 1:-1, 1:-1]
+        q_lo = jnp.zeros_like(q_int)
+        for _ in range(2 * stencil.K_MULTI):
+            delta = call(ext_step(q_int), stat_ext, dt)
+            y = delta + q_lo
+            t = q_int + y
+            q_lo = y - (t - q_int)
+            q_int = t
+
+        ext_q = extend(qf)
+        carry6 = jnp.concatenate([ext_q, jnp.zeros_like(ext_q)], 0)
+        out6 = hbm_factory(2)(carry6, stat_ext, dt)
+        sl = slice(stencil.HALO_X, stencil.HALO_X + 32)
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_array_equal(np.asarray(out6[:3, sl, :]),
+                                  np.asarray(q_int))
+    np.testing.assert_array_equal(np.asarray(out6[3:, sl, :]),
+                                  np.asarray(q_lo))
