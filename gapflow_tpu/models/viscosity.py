@@ -63,10 +63,19 @@ def piezoviscosity(p, mu0, piezo_dict):
 # Shear thinning
 # ---------------------------------------------------------------------------
 
+def _asinh(x):
+    """arcsinh via the well-conditioned log1p identity (x >= 0 here).
+
+    jnp.arcsinh has no Pallas TPU lowering; this form is accurate for
+    small x (log1p argument ~ x) and is used on BOTH the XLA and kernel
+    paths so the two stay arithmetically identical."""
+    return jnp.log1p(x + x * x / (1. + jnp.sqrt(1. + x * x)))
+
+
 def eyring_shear(shear_rate, mu0, tauE=5.e5, **_):
     """Eyring shear thinning; returns mu(gamma)/mu0 ... times mu0 (factor)."""
     tau0 = mu0 * shear_rate
-    return tauE / tau0 * jnp.arcsinh(tau0 / tauE)
+    return tauE / tau0 * _asinh(tau0 / tauE)
 
 
 def carreau_shear(shear_rate, mu0, mu_inf=1.e-3, lam=0.02, a=2, N=0.8, **_):

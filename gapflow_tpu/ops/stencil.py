@@ -37,10 +37,11 @@ the XLA fused step by tests/test_pallas.py.
 
 Scope: fully periodic boundaries (the production large-grid case: journal
 and asperity topographies) and per-edge uniform Dirichlet/Neumann edges,
-with any EOS and optional piezoviscosity (per-cell eta in-kernel).  Shear
-thinning keeps the XLA path: its shear rate uses np.gradient's one-sided
-stencil AT the ghost rows (reference semantics), which a ghost-free
-kernel layout cannot reproduce exactly.
+with any EOS, optional piezoviscosity, and optional shear thinning (both
+per-cell eta in-kernel; thinning routes through the ghost-explicit
+layout, where np.gradient's one-sided stencils AT the ghost rows/cols —
+the reference semantics — sit at fixed local positions and are
+reproduced exactly, see _thinning_eta).
 """
 
 from functools import lru_cache, partial
@@ -82,23 +83,29 @@ def pallas_supported(cfg, ny=128):
     """Kernel coverage: static pass order, lane-aligned width, and edge
     specs that are per-edge uniformly periodic or non-periodic.
 
-    Shear thinning is excluded: its shear rate comes from np.gradient of
-    the pressure over the ghost-INCLUSIVE array (reference semantics,
-    core.step.effective_viscosity), whose one-sided stencil AT the ghost
-    rows feeds the flux differences of the first/last interior cells.
-    The ghost-free kernel layouts cannot reproduce that exactly, so
-    thinning configurations keep the (still fused) XLA path.
     Piezoviscosity is purely elementwise and runs in-kernel exactly.
+    Shear thinning runs in-kernel through the ghost-explicit layout:
+    its shear rate comes from np.gradient of the pressure over the
+    ghost-INCLUSIVE array (reference semantics,
+    core.step.effective_viscosity), whose one-sided stencils sit AT the
+    ghost rows/cols — fixed positions in that layout, reproduced exactly
+    by :func:`_thinning_eta` (thinning configs route to the boundary
+    kernel even when fully periodic).
     """
     if cfg.MC_order == 0 or ny % 128 != 0 or not _edges_uniform(cfg):
-        return False
-    if cfg.thinning is not None:
         return False
     return True
 
 
 def _fused_applicable(cfg):
-    return cfg.thinning is None
+    return True
+
+
+def _k_steps(cfg):
+    """Temporal-blocking depth: halo consumption per inter-strip edge is
+    2 rows/step (1 per one-sided pass), doubled by shear thinning (the
+    per-cell viscosity reads p at +-1 rows)."""
+    return K_MULTI // 2 if cfg.thinning is not None else K_MULTI
 
 
 # ---------------------------------------------------------------------------
@@ -134,14 +141,65 @@ def _eta_fused(cfg, rho, p):
     return piezoviscosity(arg, cfg.shear, dict(cfg.piezo))
 
 
-def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False):
-    """Newtonian/piezoviscous hot path: factored closures + precomputed
-    statics, unstacked component updates.  ``return_upd`` returns the raw
-    update terms ``u`` (with ``q_new = q - u``) instead of the updated
-    state — used by the delta-emitting kernels, where the small ``u`` must
-    not be rounded into the large absolute state."""
+def _thinning_eta(cfg, p, mu0, st, thin):
+    """Shear-thinning viscosity with the serial np.gradient semantics.
+
+    core.step.effective_viscosity computes the mean shear rate from
+    jnp.gradient of p over the ghost-INCLUSIVE array: centered differences
+    everywhere except the array-edge rows/cols — which are the ghost
+    rows/cols — where the stencil is one-sided.  In the ghost-explicit
+    kernel layout those edges sit at fixed local positions (x ghost row
+    HALO_X-1 of the first strip / HALO_X+bs of the last; y ghost cols ny
+    and W-1), so the kernel reproduces the reference field exactly:
+    centered rolls plus one-sided overwrites at the ghost positions.
+    Note the one-sided x form only references the ghost and its adjacent
+    interior row, so domain-edge strips keep consuming no halo.
+
+    thin = (bs, ny, is_first, is_last); bs/ny static, is_* traced bools.
+    """
+    from ..models.viscosity import shear_rate_avg, shear_thinning_factor
+
+    bs, ny, is_first, is_last = thin
+    rows, W = p.shape
+    rdx = 1. / cfg.dx
+    rdy = 1. / cfg.dy
+
+    p_up = pltpu.roll(p, rows - 1, axis=0)   # p[i+1]
+    p_dn = pltpu.roll(p, 1, axis=0)          # p[i-1]
+    dpx = (p_up - p_dn) * (0.5 * rdx)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    dpx = jnp.where(is_first & (ridx == HALO_X - 1),
+                    (p_up - p) * rdx, dpx)
+    dpx = jnp.where(is_last & (ridx == HALO_X + bs),
+                    (p - p_dn) * rdx, dpx)
+
+    p_r = pltpu.roll(p, W - 1, axis=1)       # p[:, j+1] (wraps at seam)
+    p_l = pltpu.roll(p, 1, axis=1)           # p[:, j-1]
+    dpy = (p_r - p_l) * (0.5 * rdy)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    dpy = jnp.where(cidx == ny, (p - p_l) * rdy, dpy)       # N ghost col
+    dpy = jnp.where(cidx == W - 1, (p_r - p) * rdy, dpy)    # S ghost col
+
+    H = st[2]
+    rate = shear_rate_avg(dpx, dpy, H, cfg.U, cfg.V, mu0)
+    return mu0 * shear_thinning_factor(rate, mu0, dict(cfg.thinning))
+
+
+def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False,
+                    thin=None):
+    """Newtonian/piezoviscous/shear-thinning hot path: factored closures +
+    precomputed statics, unstacked component updates.  ``return_upd``
+    returns the raw update terms ``u`` (with ``q_new = q - u``) instead of
+    the updated state — used by the delta-emitting kernels, where the
+    small ``u`` must not be rounded into the large absolute state.
+    ``thin`` (ghost-explicit layouts only) enables in-kernel shear
+    thinning — see :func:`_thinning_eta`."""
     p = eos_pressure(q0, cfg.prop)
     eta = _eta_fused(cfg, q0, p)
+    if cfg.thinning is not None:
+        assert thin is not None, \
+            "thinning requires the ghost-explicit kernel layout"
+        eta = _thinning_eta(cfg, p, eta, st, thin)
     tb_xx, tb_yy, tb_xy, S0, S1, S2 = fused_pass_top_pre(
         q0, q1, q2, st, cfg.U, cfg.V, eta, cfg.bulk)
 
@@ -251,8 +309,10 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
     dt = dt_ref[0]
     st = tuple(st_loc[c] for c in range(N_STATIC))
     q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
+    thin = (bs, ny, i == 0, i == n_strips - 1) \
+        if cfg.thinning is not None else None
 
-    comps = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
+    comps = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0, thin=thin)
     comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
 
     sl = slice(HALO_X, HALO_X + bs)
@@ -260,12 +320,12 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
         # the refill touches ghost rows/cols only, so the interior slice of
         # comps is still the Sterbenz-exact predictor state
         u0, u1, u2 = _one_pass_fused(cfg, *comps, st, dt, d1,
-                                     return_upd=True)
+                                     return_upd=True, thin=thin)
         out_ref[0] = ((comps[0][sl, :ny] - q0_0[sl, :ny]) - u0[sl, :ny]) / 2.
         out_ref[1] = ((comps[1][sl, :ny] - q1_0[sl, :ny]) - u1[sl, :ny]) / 2.
         out_ref[2] = ((comps[2][sl, :ny] - q2_0[sl, :ny]) - u2[sl, :ny]) / 2.
     else:
-        a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
+        a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1, thin=thin)
         out_ref[0] = (a[sl, :ny] + q0_0[sl, :ny]) / 2.
         out_ref[1] = (b[sl, :ny] + q1_0[sl, :ny]) / 2.
         out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
@@ -532,11 +592,13 @@ def _kernel_fused_bc_multi(cfg, bs, nx, ny, n_strips, k, per_x, d0, d1,
         wait_in(slot)
         st = tuple(st_loc[slot, c] for c in range(N_STATIC))
         q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+        thin = (bs, ny, i == 0, i == n_strips - 1) \
+            if cfg.thinning is not None else None
 
         for _ in range(k):
-            comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+            comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0, thin=thin)
             comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
-            a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
+            a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1, thin=thin)
             q0 = (a + q0) / 2.
             q1 = (b + q1) / 2.
             q2 = (c + q2) / 2.
@@ -1064,7 +1126,10 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         compiler_params=params,
     )
 
-    if fused and not periodic:
+    if fused and (not periodic or cfg.thinning is not None):
+        # thinning routes through the ghost-explicit layout even when
+        # fully periodic (np.gradient ghost-row semantics need explicit
+        # ghost positions)
         # boundary variant: explicit ghost rows/cols, refilled in-kernel
         W = _pad_width(ny)
         per_x = all(cfg.bc_edge(0)["P"])
@@ -1098,7 +1163,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             return apply_bcs(out, cfg)
 
         kernel_bc_multi = partial(_kernel_fused_bc_multi, cfg, bs, nx, ny,
-                                  grid[0], K_MULTI, per_x, d0, d1)
+                                  grid[0], _k_steps(cfg), per_x, d0, d1)
 
         def call_multi(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -1367,7 +1432,7 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
                 t = q_int + y
                 return t, y - (t - q_int)
 
-            n_sweeps, n_rem = divmod(n_steps, K_MULTI)
+            n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
             if hbm_factory is not None and n_sweeps > 1:
                 # whole-run Kahan carry in one kernel; the remainder steps
                 # continue the (q, q_lo) carry through the per-step path
@@ -1391,7 +1456,7 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             # go through the temporal-blocked kernel (K_MULTI steps per
             # HBM round-trip), the remainder through the one-step kernel
             q_ext = extend(q)
-            n_sweeps, n_rem = divmod(n_steps, K_MULTI)
+            n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
             if hbm_factory is not None and n_sweeps > 1:
                 q_ext = hbm_factory(n_sweeps)(q_ext, *args, dt)
             elif call_multi is not None and n_sweeps > 0:
@@ -1408,7 +1473,7 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             # interior carry (boundary-condition configs): full sweeps go
             # through the temporal-blocked ghost-refilling kernel when
             # available, the remainder re-extends per step
-            n_sweeps, n_rem = divmod(n_steps, K_MULTI)
+            n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
             if call_multi is not None and fused and n_sweeps > 0:
                 q_ext = jax.lax.fori_loop(
                     0, n_sweeps,

@@ -144,14 +144,83 @@ def test_pallas_bayada_mixture_matches_xla_interpret():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
 
 
-def test_thinning_not_pallas_supported():
-    """Shear thinning keeps the XLA path (np.gradient ghost-row semantics
-    are not reproducible in the ghost-free kernel layouts)."""
-    sim_th = sim + "    piezo: {name: Barus, aB: 2.e-9}\n" \
-                   "    thinning: {name: Eyring, tauE: 5.e5}\n"
+@pytest.mark.parametrize("extra_props,extra_grid", [
+    # fully periodic journal + piezo + Eyring thinning
+    ("    piezo: {name: Barus, aB: 2.e-9}\n"
+     "    thinning: {name: Eyring, tauE: 5.e5}\n", ""),
+    # D/N x edges + Carreau thinning
+    ("    thinning: {name: Carreau, lam: 1.e-8, a: 2., N: 0.5}\n",
+     """
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007"""),
+])
+def test_pallas_thinning_step_matches_xla_interpret(extra_props,
+                                                    extra_grid):
+    """Shear thinning through the ghost-explicit kernel equals the XLA
+    step (np.gradient one-sided ghost stencils reproduced in-kernel)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_th = sim.replace("""    Nx: 32
+    Ny: 128""", """    Nx: 32
+    Ny: 128""" + extra_grid) + extra_props
     problem = Problem.from_string(sim_th)
     problem._pre_run()
-    assert not pallas_supported(problem._solver_cfg, problem.grid["Ny"])
+    cfg = problem._solver_cfg
+    assert cfg.thinning is not None
+    assert pallas_supported(cfg, problem.grid["Ny"])
+
+    state = problem._make_state()
+    det = make_det_step(cfg, with_aux=False)
+    ref = np.asarray(det(state).q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+        step = make_pallas_step(cfg, 32, 128, bs=16)
+        out = np.asarray(step(state.q, state.topo, state.extra,
+                              state.dt, 0))
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+
+
+def test_pallas_thinning_loop_matches_per_step():
+    """Temporal-blocked loop (k=2 for thinning) equals per-step stepping
+    for a fully periodic thinning config."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    problem = Problem.from_string(sim_th)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        assert stencil._k_steps(cfg) == 2
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+        loop = stencil.make_pallas_loop(cfg, 32, 128, bs=16)
+        out = np.asarray(loop(state.q, state.topo, state.extra,
+                              state.dt, 5))  # 2 sweeps + 1 remainder
+
+        (call, extend, reassemble, fused, ext_step, *_rest) = \
+            stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        q_int = state.q.astype(jnp.float32)[:, 1:-1, 1:-1]
+        for _ in range(5):
+            q_int = call(ext_step(q_int), stat_ext, dt)
+        ref = np.asarray(reassemble(state.q.astype(jnp.float32), q_int))
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
 
 
 def test_pallas_bc_step_matches_xla_interpret():
