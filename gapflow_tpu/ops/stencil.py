@@ -668,6 +668,172 @@ def _kernel_fused_bc_multi(cfg, bs, nx, ny, n_strips, k, per_x, d0, d1,
         advance(1)
 
 
+def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
+                         d0, d1,
+                         dt_ref, q_hbm, st_hbm, outA, outB,
+                         q_loc, st_loc, out_loc, sems):
+    """Whole-run variant of :func:`_kernel_fused_bc_multi`: the entire
+    n_sweeps*k-step loop in ONE pallas_call on the ghost-explicit layout,
+    ping-ponging between two HBM buffers exactly like
+    :func:`_kernel_fused_hbm_loop` (same scheduling invariants), with
+    in-kernel ghost refills per pass and per temporal average."""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    g = s * n_strips + i
+    rows = bs + 2 * HALO_X
+
+    def start_in(slot, src, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        pltpu.make_async_copy(src.at[:, pl.ds(x0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).start()
+
+    def wait_in(slot):
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).wait()
+
+    def out_copy(slot, dst, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        return pltpu.make_async_copy(
+            out_loc.at[slot, :, pl.ds(HALO_X, bs), :],
+            dst.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
+
+    def wait_out(slot):
+        out_copy(slot, outA, 0).wait()
+
+    def with_src(fn):
+        @pl.when(s == 0)
+        def _():
+            fn(q_hbm)
+
+        @pl.when((s > 0) & (s % 2 == 1))
+        def _():
+            fn(outA)
+
+        @pl.when((s > 0) & (s % 2 == 0))
+        def _():
+            fn(outB)
+
+    def with_dst(fn):
+        @pl.when(s % 2 == 0)
+        def _():
+            fn(outA)
+
+        @pl.when(s % 2 == 1)
+        def _():
+            fn(outB)
+
+    @pl.when(g == 0)
+    def _():
+        start_in(0, q_hbm, 0)
+        if n_strips > 1:
+            start_in(1, q_hbm, 1)
+
+    if n_strips > 2:
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 0))
+        def _():
+            with_src(lambda src: start_in(1, src, i + 1))
+
+        @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 1))
+        def _():
+            with_src(lambda src: start_in(0, src, i + 1))
+
+    dt = dt_ref[0]
+
+    def advance(slot):
+        wait_in(slot)
+        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
+        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+        thin = (bs, ny, i == 0, i == n_strips - 1) \
+            if cfg.thinning is not None else None
+
+        for _ in range(k):
+            comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0, thin=thin)
+            comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
+            a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1, thin=thin)
+            q0 = (a + q0) / 2.
+            q1 = (b + q1) / 2.
+            q2 = (c + q2) / 2.
+            q0, q1, q2 = _refill_ghosts(cfg, (q0, q1, q2), bs, ny, i,
+                                        n_strips)
+
+        @pl.when(i >= 2)
+        def _():
+            wait_out(slot)
+
+        out_loc[slot, 0] = q0
+        out_loc[slot, 1] = q1
+        out_loc[slot, 2] = q2
+        with_dst(lambda dst: out_copy(slot, dst, i).start())
+
+        # halo blocks (tiny, waited inline)
+        if per_x:
+            @pl.when(i == 0)
+            def _():
+                def halo(dst):
+                    cp = pltpu.make_async_copy(
+                        out_loc.at[slot, :, pl.ds(HALO_X, HALO_X), :],
+                        dst.at[:, pl.ds(nx + HALO_X, HALO_X), :],
+                        sems.at[6])
+                    cp.start()
+                    cp.wait()
+                with_dst(halo)
+
+            @pl.when(i == n_strips - 1)
+            def _():
+                def halo(dst):
+                    cp = pltpu.make_async_copy(
+                        out_loc.at[slot, :, pl.ds(bs, HALO_X), :],
+                        dst.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+                    cp.start()
+                    cp.wait()
+                with_dst(halo)
+        else:
+            @pl.when(i == 0)
+            def _():
+                def halo(dst):
+                    cp = pltpu.make_async_copy(
+                        out_loc.at[slot, :, pl.ds(0, HALO_X), :],
+                        dst.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+                    cp.start()
+                    cp.wait()
+                with_dst(halo)
+
+            @pl.when(i == n_strips - 1)
+            def _():
+                def halo(dst):
+                    cp = pltpu.make_async_copy(
+                        out_loc.at[slot, :, pl.ds(HALO_X + bs, HALO_X), :],
+                        dst.at[:, pl.ds(nx + HALO_X, HALO_X), :],
+                        sems.at[6])
+                    cp.start()
+                    cp.wait()
+                with_dst(halo)
+
+        @pl.when(i == n_strips - 1)
+        def _():
+            wait_out(slot)
+            if n_strips > 1:
+                wait_out(1 - slot)
+
+            @pl.when(s + 1 < n_sweeps)
+            def _():
+                with_dst(lambda dst: start_in(1 - slot, dst, 0))
+                if n_strips > 1:
+                    with_dst(lambda dst: start_in(slot, dst, 1))
+
+    @pl.when(g % 2 == 0)
+    def _():
+        advance(0)
+
+    @pl.when(g % 2 == 1)
+    def _():
+        advance(1)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -1184,8 +1350,38 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 compiler_params=params,
             )(dt, q_ext, stat_ext)
 
+        def hbm_loop_factory(n_sweeps):
+            kern = partial(_kernel_fused_bc_hbm, cfg, bs, nx, ny, grid[0],
+                           n_sweeps, _k_steps(cfg), per_x, d0, d1)
+            ext_shape = (3, nx + 2 * HALO_X, W)
+
+            def call_hbm(q_ext, stat_ext, dt):
+                outs = pl.pallas_call(
+                    kern,
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              pl.BlockSpec(memory_space=pl.ANY),
+                              pl.BlockSpec(memory_space=pl.ANY)],
+                    out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                               pl.BlockSpec(memory_space=pl.ANY)],
+                    out_shape=[jax.ShapeDtypeStruct(ext_shape, dtype),
+                               jax.ShapeDtypeStruct(ext_shape, dtype)],
+                    scratch_shapes=[
+                        pltpu.VMEM((2, 3, rows, W), dtype),
+                        pltpu.VMEM((2, N_STATIC, rows, W), dtype),
+                        pltpu.VMEM((2, 3, rows, W), dtype),
+                        pltpu.SemaphoreType.DMA((7,)),
+                    ],
+                    grid=(n_sweeps, grid[0]),
+                    compiler_params=params,
+                )(dt, q_ext, stat_ext)
+                return outs[(n_sweeps - 1) % 2]
+
+            return call_hbm
+
+        # the BC whole-run factory is plain-accumulation only; compensated
+        # BC runs keep the per-step emit_delta path
         return (call, extend, reassemble, fused, ext_step, None, None,
-                call_multi, None)
+                call_multi, None if emit_delta else hbm_loop_factory)
 
     def extend(arr):
         return _extend_interior(arr[:, 1:-1, 1:-1])
@@ -1474,7 +1670,11 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             # through the temporal-blocked ghost-refilling kernel when
             # available, the remainder re-extends per step
             n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
-            if call_multi is not None and fused and n_sweeps > 0:
+            if hbm_factory is not None and fused and n_sweeps > 1:
+                q_ext = hbm_factory(n_sweeps)(extend(q), *args, dt)
+                q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2,
+                              :q.shape[2] - 2]
+            elif call_multi is not None and fused and n_sweeps > 0:
                 q_ext = jax.lax.fori_loop(
                     0, n_sweeps,
                     lambda i, qe: call_multi(qe, *args, dt), extend(q))

@@ -490,3 +490,82 @@ def test_pallas_comp_hbm_matches_per_step():
                                   np.asarray(q_int))
     np.testing.assert_array_equal(np.asarray(out6[3:, sl, :]),
                                   np.asarray(q_lo))
+
+
+def test_pallas_bc_hbm_loop_matches_onestep():
+    """Whole-run ghost-explicit kernel equals n_sweeps*K one-step
+    boundary-kernel applications (D/N edges)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_bc = sim.replace(
+        """    Nx: 32
+    Ny: 128""",
+        """    Nx: 32
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007""")
+
+    problem = Problem.from_string(sim_bc)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil._make_call.cache_clear()
+        (call, extend, reassemble, fused, ext_step, _, _, call_multi,
+         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        assert hbm_factory is not None
+
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        qf = state.q.astype(jnp.float32)
+        k = stencil._k_steps(cfg)
+
+        for n_sweeps in (2, 3):
+            q_int = qf[:, 1:-1, 1:-1]
+            for _ in range(n_sweeps * k):
+                q_int = call(ext_step(q_int), stat_ext, dt)
+            out_ext = hbm_factory(n_sweeps)(extend(qf), stat_ext, dt)
+            out = out_ext[:, stencil.HALO_X:stencil.HALO_X + 32, :128]
+            np.testing.assert_allclose(np.asarray(out), np.asarray(q_int),
+                                       rtol=2e-4, atol=1e-8,
+                                       err_msg=f"n_sweeps={n_sweeps}")
+        stencil._make_call.cache_clear()
+
+
+def test_pallas_thinning_hbm_loop_matches_per_step():
+    """Whole-run ghost-explicit kernel with in-kernel thinning (periodic,
+    k=2) through make_pallas_loop equals per-step stepping."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    problem = Problem.from_string(sim_th)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = problem._make_state()
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+        loop = stencil.make_pallas_loop(cfg, 32, 128, bs=16)
+        out = np.asarray(loop(state.q, state.topo, state.extra,
+                              state.dt, 9))  # 4 sweeps (hbm) + 1 remainder
+
+        (call, extend, reassemble, fused, ext_step, *_rest) = \
+            stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        q_int = state.q.astype(jnp.float32)[:, 1:-1, 1:-1]
+        for _ in range(9):
+            q_int = call(ext_step(q_int), stat_ext, dt)
+        ref = np.asarray(reassemble(state.q.astype(jnp.float32), q_int))
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
