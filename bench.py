@@ -182,6 +182,7 @@ def main():
     gp_target = 5e-3
 
     throughput = bench_fv_step()
+    fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
     gp_refit_s, gp_update_s = bench_gp_refit()
 
     result = {
@@ -189,6 +190,7 @@ def main():
         "value": float(throughput),
         "unit": "cell-updates/s",
         "vs_baseline": float(throughput / fv_target),
+        "fv_2048_cu_s": float(fv_2048),
         "gp_refit_ms": float(gp_refit_s * 1e3),
         "gp_al_update_ms": float(gp_update_s * 1e3),
         "gp_vs_target": float(gp_target / gp_refit_s),

@@ -44,11 +44,11 @@ def _pad_width(by):
     return ((by + 4 + 127) // 128) * 128
 
 
-def _exchange2(block, axis, axis_name, axis_size):
-    """Two-cell (lo, hi) halo slabs from the mesh neighbors."""
-    hi_edge = lax.slice_in_dim(block, block.shape[axis] - 2,
+def _exchange2(block, axis, axis_name, axis_size, depth=2):
+    """``depth``-cell (lo, hi) halo slabs from the mesh neighbors."""
+    hi_edge = lax.slice_in_dim(block, block.shape[axis] - depth,
                                block.shape[axis], axis=axis)
-    lo_edge = lax.slice_in_dim(block, 0, 2, axis=axis)
+    lo_edge = lax.slice_in_dim(block, 0, depth, axis=axis)
     if axis_size == 1:
         return hi_edge, lo_edge
     lo = lax.ppermute(hi_edge, axis_name, _neighbor_perm(axis_size, +1))
@@ -56,15 +56,18 @@ def _exchange2(block, axis, axis_name, axis_size):
     return lo, hi
 
 
-def _to_kernel_layout(rows, by, W):
-    """(C, R, by+4) x-extended+y-exchanged block -> (C, R, W) wrap layout.
+def _to_kernel_layout(rows, by, W, depth=2):
+    """(C, R, by+2*depth) x-extended+y-exchanged block -> (C, R, W) wrap
+    layout.
 
-    Input columns: [W2 W1 | interior(by) | E1 E2]."""
-    inter = rows[:, :, 2:2 + by]
-    east = rows[:, :, 2 + by:2 + by + 2]
-    west = rows[:, :, 0:2]
-    pad = jnp.repeat(rows[:, :, 2:3], W - by - 4, axis=2)
-    # [interior | E1 E2 | pad | W2 W1]
+    Input columns: [W_depth..W1 | interior(by) | E1..E_depth]; output
+    [interior | E1..E_depth | pad | W_depth..W1], so col 0's roll-left
+    neighbor is col W-1 = W1 and col by-1's roll-right neighbor is E1."""
+    inter = rows[:, :, depth:depth + by]
+    east = rows[:, :, depth + by:depth + by + depth]
+    west = rows[:, :, 0:depth]
+    pad = jnp.repeat(rows[:, :, depth:depth + 1], W - by - 2 * depth,
+                     axis=2)
     return jnp.concatenate([inter, east, pad, west], axis=2)
 
 
@@ -78,16 +81,33 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
     if not _fully_periodic(cfg):
         raise ValueError("sharded Pallas loop covers fully periodic "
                          "problems (others take make_sharded_trajectory)")
+    if cfg.thinning is not None:
+        raise ValueError("sharded Pallas loop does not cover shear "
+                         "thinning (the global ghost-row gradient "
+                         "semantics live on specific shards)")
     px, py = mesh.shape["x"], mesh.shape["y"]
     bx, by = nx // px, ny // py
     W = _pad_width(by)
+    W8 = ((by + 2 * HALO_X + 127) // 128) * 128
 
     call, _, _, fused = _make_call(cfg, bx, W, None, dtype)[:4]
     assert fused
+    # temporal-blocked local kernel: K_MULTI steps per HALO_X-deep
+    # exchange (halo consumption 2 cells/step/edge, so an 8-deep halo
+    # buys exactly 4 steps between ICI syncs)
+    from ..ops.stencil import K_MULTI
+    call_multi = _make_call(cfg, bx, W8, None, dtype)[7]
+
+    def _exchange_deep(arr, depth):
+        lo_x, hi_x = _exchange2(arr, 1, "x", px, depth)
+        rows = jnp.concatenate([lo_x, arr, hi_x], axis=1)
+        lo_y, hi_y = _exchange2(rows, 2, "y", py, depth)
+        return jnp.concatenate([lo_y, rows, hi_y], axis=2)
 
     def local_loop(q, topo2, extra2, dt, n_steps):
         q = q.astype(dtype)
         dt = jnp.asarray(dt, dtype)[None]
+        n_steps = jnp.asarray(n_steps, jnp.int32)
 
         # statics once per run: blocks carry their own 2-cell halos
         # (pad_blocks2), so the kernel-layout statics are exact with no
@@ -97,6 +117,15 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
             [jnp.repeat(stats[:, :1], HALO_X - 2, axis=1), stats,
              jnp.repeat(stats[:, -1:], HALO_X - 2, axis=1)], axis=1)
         stat_ext = _to_kernel_layout(st_rows, by, W)
+
+        # statics for the blocked kernel: true HALO_X-deep halos, built by
+        # one exchange of the interior blocks (statics are elementwise in
+        # topo/extra, so exchanged inputs give exact halo statics)
+        topo8 = _exchange_deep(topo2.astype(dtype)[:, 2:-2, 2:-2], HALO_X)
+        extra8 = _exchange_deep(extra2.astype(dtype)[:, 2:-2, 2:-2],
+                                HALO_X)
+        stat_ext8 = _to_kernel_layout(_statics_ghosted(topo8, extra8),
+                                      by, W8, depth=HALO_X)
 
         def body(i, q_int):
             lo_x, hi_x = _exchange2(q_int, 1, "x", px)
@@ -111,7 +140,14 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
             out = call(q_ext, stat_ext, dt)    # (3, bx, W)
             return out[:, :, :by]
 
-        return lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, q)
+        def body_blocked(i, q_int):
+            rows = _exchange_deep(q_int, HALO_X)
+            q_ext = _to_kernel_layout(rows, by, W8, depth=HALO_X)
+            out = call_multi(q_ext, stat_ext8, dt)   # (3, bx+2H, W8)
+            return out[:, HALO_X:HALO_X + bx, :by]
+
+        q = lax.fori_loop(0, n_steps // K_MULTI, body_blocked, q)
+        return lax.fori_loop(0, n_steps % K_MULTI, body, q)
 
     spec = P(None, "x", "y")
     sharded = shard_map(

@@ -44,8 +44,11 @@ properties:
 """
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
+@pytest.mark.parametrize("shape", [(1, 1), (2, 4), (4, 2), (1, 8)])
 def test_sharded_pallas_matches_serial(shape):
+    """(1, 1) runs on a single host core (the local-wrap degenerate case,
+    covering the kernel layouts and the temporal-blocked body); the
+    multi-device shapes need >= mesh-size cores for interpret mode."""
     import os
     from jax.experimental.pallas import tpu as pltpu
 
