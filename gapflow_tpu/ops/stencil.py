@@ -15,18 +15,21 @@ axis is kept whole and un-haloed: with periodic boundaries the in-kernel
 roll over the full width IS the periodic wrap, so y needs no ghost data
 (requires ny to be a multiple of 128).
 
-The n-step loop escalates through three layouts (fastest that fits):
+The n-step loop escalates through these layouts (fastest that fits):
 
 1. whole-run-in-VMEM: the halo-extended state ping-pongs between two
    VMEM-resident buffers with the statics also VMEM-resident; the entire
    n-step loop touches HBM exactly twice (~15e9 cell-updates/s at 1024^2
    on one v5e chip — pure VPU compute);
-2. extended-array carry: the kernel reads/writes the halo-extended array
-   in HBM directly (ANY-memory output with manual DMAs; the first/last
-   strips duplicate their edge rows into the opposite halo), so no
-   per-step halo-concatenation pass is needed (~8.5e9);
-3. interior carry with a per-step extension pass (compensated/f32-Kahan
-   and boundary-condition variants).
+2. whole-run HBM ping-pong (_kernel_fused_hbm_loop / _kernel_fused_bc_hbm):
+   grid = (n_sweeps, n_strips), K_MULTI temporal-blocked steps per strip
+   sweep with double-buffered DMA, state ping-ponging between two HBM
+   buffers — the entire loop in ONE pallas_call (~11.4e9 at 2048^2;
+   in-kernel Kahan variant for compensated f32 runs);
+3. extended-array carry (_kernel_fused_ext): per-step kernel that
+   maintains its own halos (remainder steps of 2.);
+4. interior carry with a per-step extension pass (compensated-remainder
+   and boundary-condition one-step variants).
 
 The kernel is VPU-bound, so the hot path uses the hand-factored closures
 (gapflow_tpu.models.closures_opt) with all static per-cell factors
@@ -375,7 +378,7 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
     halo-extended state between two HBM buffers (sweep s reads q_hbm for
     s=0 else the previous sweep's output, writes outA for even s, outB
     for odd s).  Each (sweep, strip) grid cell advances its strip k steps
-    in VMEM exactly like :func:`_kernel_fused_multi`, double-buffered by
+    in VMEM (trapezoid tiling, see class docstring), double-buffered by
     global iteration parity.
 
     Why one call: besides kernel-launch overhead, a lax.fori_loop of
@@ -530,149 +533,11 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
         advance(1)
 
 
-def _kernel_fused_bc_multi(cfg, bs, nx, ny, n_strips, k, per_x, d0, d1,
-                           dt_ref, q_hbm, st_hbm, out_hbm,
-                           q_loc, st_loc, out_loc, sems):
-    """Temporal-blocked boundary variant: k steps per HBM sweep on the
-    ghost-explicit layout, with cross-strip double buffering.
-
-    Same trapezoid tiling as :func:`_kernel_fused_multi` on the x axis,
-    but ghost rows/cols are REFILLED in-kernel after every pass and after
-    every temporal average (the same `_refill_ghosts` formulas as the
-    one-step boundary kernel, so the interiors are bit-equal).  Domain
-    edges consume no halo — the ghost refill resets the adjacent row
-    exactly each pass — so only inter-strip edges shrink (2 rows/step,
-    k <= HALO_X/2).  In/out is the halo-extended (3, nx+2H, W) array:
-    interior strips write their bs rows; the first/last strips also write
-    their H-row halo blocks (periodic wrap images when per_x, refreshed
-    ghost rows otherwise — deeper halo rows are garbage and never read).
-    """
-    i = pl.program_id(0)
-    rows = bs + 2 * HALO_X
-
-    def start_in(slot, strip):
-        x0 = pl.multiple_of(strip * bs, 8)
-        pltpu.make_async_copy(q_hbm.at[:, pl.ds(x0, rows), :],
-                              q_loc.at[slot], sems.at[slot]).start()
-        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
-                              st_loc.at[slot], sems.at[2 + slot]).start()
-
-    def wait_in(slot):
-        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
-                              q_loc.at[slot], sems.at[slot]).wait()
-        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
-                              st_loc.at[slot], sems.at[2 + slot]).wait()
-
-    def out_copy(slot, strip):
-        x0 = pl.multiple_of(strip * bs, 8)
-        return pltpu.make_async_copy(
-            out_loc.at[slot, :, pl.ds(HALO_X, bs), :],
-            out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
-
-    @pl.when(i == 0)
-    def _():
-        start_in(0, 0)
-
-    if n_strips > 1:
-        @pl.when(i == 0)
-        def _():
-            start_in(1, 1)
-
-        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 0))
-        def _():
-            start_in(1, i + 1)
-
-        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 1))
-        def _():
-            start_in(0, i + 1)
-
-    dt = dt_ref[0]
-
-    def advance(slot):
-        wait_in(slot)
-        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
-        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
-        thin = (bs, ny, i == 0, i == n_strips - 1) \
-            if cfg.thinning is not None else None
-
-        for _ in range(k):
-            comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0, thin=thin)
-            comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
-            a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1, thin=thin)
-            q0 = (a + q0) / 2.
-            q1 = (b + q1) / 2.
-            q2 = (c + q2) / 2.
-            q0, q1, q2 = _refill_ghosts(cfg, (q0, q1, q2), bs, ny, i,
-                                        n_strips)
-
-        @pl.when(i >= 2)
-        def _():
-            out_copy(slot, 0).wait()
-
-        out_loc[slot, 0] = q0
-        out_loc[slot, 1] = q1
-        out_loc[slot, 2] = q2
-        out_copy(slot, i).start()
-
-        # halo blocks (tiny transfers, waited inline)
-        if per_x:
-            # periodic wrap images, as in the periodic multi kernel
-            @pl.when(i == 0)
-            def _():
-                cp = pltpu.make_async_copy(
-                    out_loc.at[slot, :, pl.ds(HALO_X, HALO_X), :],
-                    out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :],
-                    sems.at[6])
-                cp.start()
-                cp.wait()
-
-            @pl.when(i == n_strips - 1)
-            def _():
-                cp = pltpu.make_async_copy(
-                    out_loc.at[slot, :, pl.ds(bs, HALO_X), :],
-                    out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[6])
-                cp.start()
-                cp.wait()
-        else:
-            # refreshed ghost row lives at local row H-1 / H+bs; write the
-            # whole 8-aligned halo block (deeper rows are dead)
-            @pl.when(i == 0)
-            def _():
-                cp = pltpu.make_async_copy(
-                    out_loc.at[slot, :, pl.ds(0, HALO_X), :],
-                    out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[6])
-                cp.start()
-                cp.wait()
-
-            @pl.when(i == n_strips - 1)
-            def _():
-                cp = pltpu.make_async_copy(
-                    out_loc.at[slot, :, pl.ds(HALO_X + bs, HALO_X), :],
-                    out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :],
-                    sems.at[6])
-                cp.start()
-                cp.wait()
-
-        @pl.when(i == n_strips - 1)
-        def _():
-            out_copy(slot, 0).wait()
-            if n_strips > 1:
-                out_copy(1 - slot, 0).wait()
-
-    @pl.when(i % 2 == 0)
-    def _():
-        advance(0)
-
-    @pl.when(i % 2 == 1)
-    def _():
-        advance(1)
-
-
 def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
                          d0, d1,
                          dt_ref, q_hbm, st_hbm, outA, outB,
                          q_loc, st_loc, out_loc, sems):
-    """Whole-run variant of :func:`_kernel_fused_bc_multi`: the entire
+    """Ghost-explicit variant of :func:`_kernel_fused_hbm_loop`: the entire
     n_sweeps*k-step loop in ONE pallas_call on the ghost-explicit layout,
     ping-ponging between two HBM buffers exactly like
     :func:`_kernel_fused_hbm_loop` (same scheduling invariants), with
@@ -932,135 +797,6 @@ def _kernel_fused_ext(cfg, bs, nx, d0, d1,
         cp.wait()
 
     cp_out.wait()
-
-
-def _kernel_fused_multi(cfg, bs, nx, n_strips, k, d0, d1,
-                        dt_ref, q_hbm, st_hbm, out_hbm,
-                        q_loc, st_loc, out_loc, sems):
-    """Temporal-blocked periodic variant: k MacCormack steps per HBM sweep,
-    with cross-strip double buffering.
-
-    Trapezoid tiling on the x (sublane) axis: each strip loads bs + 2*H
-    rows, advances k full steps entirely in VMEM, and writes back only the
-    bs interior rows.  Each one-sided pass corrupts one more row inward
-    from the strip edge, i.e. 2 rows per step, so the interior stays exact
-    for k <= H/2 steps (H = HALO_X = 8 -> k = 4).  The y axis is whole and
-    periodic (in-kernel rolls), so it never shrinks.
-
-    HBM traffic per k steps: (3 + N_STATIC) channels read + 3 written ~=
-    3.5 channels/step instead of 14 for the one-step kernel — the win for
-    grids whose state exceeds VMEM (2048^2 and up).  In/out are the
-    halo-extended array (first/last strips duplicate edge rows into the
-    opposite halo), like _kernel_fused_ext.
-
-    Pipelining: inputs and outputs are double-buffered by strip parity, so
-    strip i+1's input DMA overlaps strip i's k-step compute and the output
-    DMA drains while the next strip computes — without this the kernel
-    stalls on every strip's input round-trip (measured: 8.6e9 -> stalled
-    vs compute ceiling ~13e9 cell-updates/s at 2048^2).
-    """
-    i = pl.program_id(0)
-    rows = bs + 2 * HALO_X
-
-    def start_in(slot, strip):
-        x0 = pl.multiple_of(strip * bs, 8)
-        pltpu.make_async_copy(q_hbm.at[:, pl.ds(x0, rows), :],
-                              q_loc.at[slot], sems.at[slot]).start()
-        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
-                              st_loc.at[slot], sems.at[2 + slot]).start()
-
-    def wait_in(slot):
-        # reconstructed descriptors: .wait() only needs the transfer size
-        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
-                              q_loc.at[slot], sems.at[slot]).wait()
-        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
-                              st_loc.at[slot], sems.at[2 + slot]).wait()
-
-    def out_copy(slot, strip):
-        x0 = pl.multiple_of(strip * bs, 8)
-        return pltpu.make_async_copy(
-            out_loc.at[slot],
-            out_hbm.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
-
-    @pl.when(i == 0)
-    def _():
-        start_in(0, 0)
-
-    if n_strips > 1:
-        @pl.when(i == 0)
-        def _():
-            start_in(1, 1)
-
-        # iteration i >= 1 prefetches strip i+1 into slot (i+1) % 2,
-        # overwriting strip i-1's input (consumed one iteration ago)
-        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 0))
-        def _():
-            start_in(1, i + 1)
-
-        @pl.when((i >= 1) & (i + 1 < n_strips) & (i % 2 == 1))
-        def _():
-            start_in(0, i + 1)
-
-    dt = dt_ref[0]
-
-    def advance(slot):
-        wait_in(slot)
-        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
-        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
-
-        for _ in range(k):
-            a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
-            a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
-            q0 = (a + q0) / 2.
-            q1 = (b + q1) / 2.
-            q2 = (c + q2) / 2.
-
-        # this slot's out buffer is in flight for strip i-2 until its
-        # DMA completes
-        @pl.when(i >= 2)
-        def _():
-            out_copy(slot, 0).wait()
-
-        sl = slice(HALO_X, HALO_X + bs)
-        out_loc[slot, 0] = q0[sl]
-        out_loc[slot, 1] = q1[sl]
-        out_loc[slot, 2] = q2[sl]
-        out_copy(slot, i).start()
-
-        # periodic halo images (tiny transfers, waited inline): interior
-        # rows [0, H) -> top halo, interior rows [nx-H, nx) -> bottom halo
-        @pl.when(i == 0)
-        def _():
-            cp = pltpu.make_async_copy(
-                out_loc.at[slot, :, pl.ds(0, HALO_X), :],
-                out_hbm.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[6])
-            cp.start()
-            cp.wait()
-
-        @pl.when(i == n_strips - 1)
-        def _():
-            cp = pltpu.make_async_copy(
-                out_loc.at[slot, :, pl.ds(bs - HALO_X, HALO_X), :],
-                out_hbm.at[:, pl.ds(0, HALO_X), :], sems.at[6])
-            cp.start()
-            cp.wait()
-
-        # drain: the final iteration waits its own output DMA plus the
-        # previous iteration's (other slot); every other copy j is waited
-        # at iteration j+2 when its slot is reused
-        @pl.when(i == n_strips - 1)
-        def _():
-            out_copy(slot, 0).wait()
-            if n_strips > 1:
-                out_copy(1 - slot, 0).wait()
-
-    @pl.when(i % 2 == 0)
-    def _():
-        advance(0)
-
-    @pl.when(i % 2 == 1)
-    def _():
-        advance(1)
 
 
 def _kernel_fused_vmem(cfg, bs, nx, n_steps, d0, d1,
@@ -1328,28 +1064,6 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             out = jnp.zeros_like(q_like).at[:, 1:-1, 1:-1].set(q_int)
             return apply_bcs(out, cfg)
 
-        kernel_bc_multi = partial(_kernel_fused_bc_multi, cfg, bs, nx, ny,
-                                  grid[0], _k_steps(cfg), per_x, d0, d1)
-
-        def call_multi(q_ext, stat_ext, dt):
-            return pl.pallas_call(
-                kernel_bc_multi,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                          pl.BlockSpec(memory_space=pl.ANY),
-                          pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                out_shape=jax.ShapeDtypeStruct((3, nx + 2 * HALO_X, W),
-                                               dtype),
-                scratch_shapes=[
-                    pltpu.VMEM((2, 3, rows, W), dtype),
-                    pltpu.VMEM((2, N_STATIC, rows, W), dtype),
-                    pltpu.VMEM((2, 3, rows, W), dtype),
-                    pltpu.SemaphoreType.DMA((7,)),
-                ],
-                grid=grid,
-                compiler_params=params,
-            )(dt, q_ext, stat_ext)
-
         def hbm_loop_factory(n_sweeps):
             kern = partial(_kernel_fused_bc_hbm, cfg, bs, nx, ny, grid[0],
                            n_sweeps, _k_steps(cfg), per_x, d0, d1)
@@ -1381,7 +1095,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         # the BC whole-run factory is plain-accumulation only; compensated
         # BC runs keep the per-step emit_delta path
         return (call, extend, reassemble, fused, ext_step, None, None,
-                call_multi, None if emit_delta else hbm_loop_factory)
+                None if emit_delta else hbm_loop_factory)
 
     def extend(arr):
         return _extend_interior(arr[:, 1:-1, 1:-1])
@@ -1393,7 +1107,6 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         return _reassemble(q_like, q_int)
 
     call_ext = None
-    call_multi = None
     vmem_loop_factory = None
     hbm_loop_factory = None
     if fused:
@@ -1453,32 +1166,10 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 compiler_params=params,
             )(dt, q_ext, stat_ext)
 
-        # temporal-blocked variant: K_MULTI steps per HBM sweep (the win
-        # when the state exceeds VMEM and the vmem loop is unavailable)
-        kernel_multi = partial(_kernel_fused_multi, cfg, bs, nx,
-                               nx // bs, K_MULTI, d0, d1)
-
-        def call_multi(q_ext, stat_ext, dt):
-            return pl.pallas_call(
-                kernel_multi,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                          pl.BlockSpec(memory_space=pl.ANY),
-                          pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                out_shape=jax.ShapeDtypeStruct((3, nx + 2 * HALO_X, ny),
-                                               dtype),
-                scratch_shapes=[
-                    pltpu.VMEM((2, 3, rows, ny), dtype),
-                    pltpu.VMEM((2, N_STATIC, rows, ny), dtype),
-                    pltpu.VMEM((2, 3, bs, ny), dtype),
-                    pltpu.SemaphoreType.DMA((7,)),
-                ],
-                grid=grid,
-                compiler_params=params,
-            )(dt, q_ext, stat_ext)
-
         # whole-run HBM ping-pong loop: n_sweeps*K_MULTI steps in ONE
-        # pallas_call (the fastest >VMEM layout: no per-iteration dispatch)
+        # pallas_call — the fastest >VMEM layout (no per-iteration
+        # dispatch); n_sweeps=1 doubles as the single-sweep blocked kernel
+        # (used by the sharded loop between halo exchanges)
         def hbm_loop_factory(n_sweeps):
             # emit_delta -> compensated whole-run variant: the carry is the
             # 6-channel (q, q_lo) state, Kahan-accumulated in-kernel
@@ -1543,7 +1234,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             )(dt, q_ext, topo_ext, extra_ext)
 
     return (call, extend, reassemble, fused, ext_step, call_ext,
-            vmem_loop_factory, call_multi, hbm_loop_factory)
+            vmem_loop_factory, hbm_loop_factory)
 
 
 @lru_cache(maxsize=16)
@@ -1601,8 +1292,7 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     Costs four elementwise adds per step outside the kernel.
     """
     (call, extend, reassemble, fused, ext_step, call_ext, vmem_factory,
-     call_multi, hbm_factory) = _make_call(cfg, nx, ny, bs, dtype,
-                                           compensated)
+     hbm_factory) = _make_call(cfg, nx, ny, bs, dtype, compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, topo, extra, dt, n_steps):
@@ -1629,7 +1319,7 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
                 return t, y - (t - q_int)
 
             n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
-            if hbm_factory is not None and n_sweeps > 1:
+            if hbm_factory is not None and n_sweeps > 0:
                 # whole-run Kahan carry in one kernel; the remainder steps
                 # continue the (q, q_lo) carry through the per-step path
                 ext_q = extend(q)
@@ -1653,12 +1343,8 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             # HBM round-trip), the remainder through the one-step kernel
             q_ext = extend(q)
             n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
-            if hbm_factory is not None and n_sweeps > 1:
+            if hbm_factory is not None and n_sweeps > 0:
                 q_ext = hbm_factory(n_sweeps)(q_ext, *args, dt)
-            elif call_multi is not None and n_sweeps > 0:
-                q_ext = jax.lax.fori_loop(
-                    0, n_sweeps,
-                    lambda i, qe: call_multi(qe, *args, dt), q_ext)
             else:
                 n_rem = n_steps
             if n_rem > 0:
@@ -1670,14 +1356,8 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
             # through the temporal-blocked ghost-refilling kernel when
             # available, the remainder re-extends per step
             n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
-            if hbm_factory is not None and fused and n_sweeps > 1:
+            if hbm_factory is not None and fused and n_sweeps > 0:
                 q_ext = hbm_factory(n_sweeps)(extend(q), *args, dt)
-                q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2,
-                              :q.shape[2] - 2]
-            elif call_multi is not None and fused and n_sweeps > 0:
-                q_ext = jax.lax.fori_loop(
-                    0, n_sweeps,
-                    lambda i, qe: call_multi(qe, *args, dt), extend(q))
                 q_int = q_ext[:, HALO_X:HALO_X + q.shape[1] - 2,
                               :q.shape[2] - 2]
             else:

@@ -2,12 +2,15 @@
 
 Combines the 2D spatial decomposition of :mod:`gapflow_tpu.parallel.halo`
 with the fused two-pass MacCormack kernel of
-:mod:`gapflow_tpu.ops.stencil`: per step, each shard exchanges TWO-cell
-deep halos with its mesh neighbors (one ``ppermute`` per axis; the y
+:mod:`gapflow_tpu.ops.stencil`: each shard exchanges HALO_X-deep (8-cell)
+halo slabs with its mesh neighbors (one ``ppermute`` per axis; the y
 exchange runs on the x-extended block so corner cells ride along), then
-advances both MacCormack passes locally in one kernel — the deep halo
-makes the inter-pass ghost refill unnecessary (pass 1's halo ring is
-valid, which is all pass 2 consumes).
+advances K_MULTI=4 temporal-blocked steps locally in one kernel — halo
+consumption is 2 cells/step/edge, so the 8-deep halo buys exactly 4
+steps between ICI syncs.  Remainder steps (n % 4) use a 2-deep exchange
+with the one-step kernel, whose deep halo makes the inter-pass ghost
+refill unnecessary (pass 1's halo ring is valid, which is all pass 2
+consumes).
 
 Local kernel layout: the fused periodic kernel treats its full width as
 periodic (in-kernel roll).  The local block is laid out as
@@ -96,7 +99,7 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
     # exchange (halo consumption 2 cells/step/edge, so an 8-deep halo
     # buys exactly 4 steps between ICI syncs)
     from ..ops.stencil import K_MULTI
-    call_multi = _make_call(cfg, bx, W8, None, dtype)[7]
+    call_multi = _make_call(cfg, bx, W8, None, dtype)[7](1)
 
     def _exchange_deep(arr, depth):
         lo_x, hi_x = _exchange2(arr, 1, "x", px, depth)

@@ -311,8 +311,9 @@ def test_pallas_multi_step_matches_ext():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, call_ext, _,
-         call_multi, _) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
-        assert fused and call_ext is not None and call_multi is not None
+         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        assert fused and call_ext is not None and hbm_factory is not None
+        call_multi = hbm_factory(1)
 
         stat_ext = extend(stencil._statics_ghosted(
             state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
@@ -353,8 +354,9 @@ def test_pallas_bc_multi_step_matches_onestep():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, call_ext, vmem_f,
-         call_multi, _) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
-        assert fused and call_ext is None and call_multi is not None
+         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+        assert fused and call_ext is None and hbm_factory is not None
+        call_multi = hbm_factory(1)
 
         stat_ext = extend(stencil._statics_ghosted(
             state.topo.astype(jnp.float32), state.extra.astype(jnp.float32)))
@@ -429,7 +431,7 @@ def test_pallas_hbm_loop_matches_ext():
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
-        (call, extend, reassemble, fused, ext_step, call_ext, _, _,
+        (call, extend, reassemble, fused, ext_step, call_ext, _,
          hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert hbm_factory is not None
 
@@ -462,7 +464,7 @@ def test_pallas_comp_hbm_matches_per_step():
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
-        (call, extend, reassemble, fused, ext_step, _, _, _, hbm_factory) \
+        (call, extend, reassemble, fused, ext_step, _, _, hbm_factory) \
             = stencil._make_call(cfg, 32, 128, 16, jnp.float32, True)
         assert hbm_factory is not None
 
@@ -515,7 +517,7 @@ def test_pallas_bc_hbm_loop_matches_onestep():
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
-        (call, extend, reassemble, fused, ext_step, _, _, call_multi,
+        (call, extend, reassemble, fused, ext_step, _, _,
          hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert hbm_factory is not None
 
