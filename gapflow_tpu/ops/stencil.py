@@ -40,11 +40,12 @@ the XLA fused step by tests/test_pallas.py.
 
 Scope: fully periodic boundaries (the production large-grid case: journal
 and asperity topographies) and per-edge uniform Dirichlet/Neumann edges,
-with any EOS, optional piezoviscosity, and optional shear thinning (both
-per-cell eta in-kernel; thinning routes through the ghost-explicit
-layout, where np.gradient's one-sided stencils AT the ghost rows/cols —
-the reference semantics — sit at fixed local positions and are
-reproduced exactly, see _thinning_eta).
+with any EOS, optional piezoviscosity, and — for non-periodic x edges —
+optional shear thinning (both per-cell eta in-kernel; thinning routes
+through the ghost-explicit layout, where np.gradient's one-sided
+stencils AT the ghost rows/cols — the reference semantics — sit at
+fixed local positions and are reproduced exactly, see _thinning_eta;
+periodic-x thinning keeps the XLA path, see pallas_supported).
 """
 
 from functools import lru_cache, partial
@@ -87,20 +88,22 @@ def pallas_supported(cfg, ny=128):
     specs that are per-edge uniformly periodic or non-periodic.
 
     Piezoviscosity is purely elementwise and runs in-kernel exactly.
-    Shear thinning runs in-kernel through the ghost-explicit layout:
-    its shear rate comes from np.gradient of the pressure over the
-    ghost-INCLUSIVE array (reference semantics,
+    Shear thinning runs in-kernel for NON-periodic x edges, through the
+    ghost-explicit layout: its shear rate comes from np.gradient of the
+    pressure over the ghost-INCLUSIVE array (reference semantics,
     core.step.effective_viscosity), whose one-sided stencils sit AT the
     ghost rows/cols — fixed positions in that layout, reproduced exactly
-    by :func:`_thinning_eta` (thinning configs route to the boundary
-    kernel even when fully periodic).
+    by :func:`_thinning_eta`.  Periodic-x thinning keeps the XLA path:
+    the serial scheme re-wraps the x ghost rows from the remote seam
+    interior after every pass, while thinning's one-sided eta makes the
+    in-kernel wrap-halo evolution position-dependent — the strip-local
+    halo diverges from the remote interior it mirrors (y is immune: its
+    ghost cols are dedicated slots refilled from the in-strip interior).
     """
     if cfg.MC_order == 0 or ny % 128 != 0 or not _edges_uniform(cfg):
         return False
-    return True
-
-
-def _fused_applicable(cfg):
+    if cfg.thinning is not None and all(dict(cfg.bc[0])["P"]):
+        return False
     return True
 
 
@@ -114,23 +117,6 @@ def _k_steps(cfg):
 # ---------------------------------------------------------------------------
 # Pass bodies
 # ---------------------------------------------------------------------------
-
-def _one_pass_generic(cfg, q, topo, extra, dt, d, return_upd=False):
-    """Generic MacCormack pass (any EOS/viscosity model)."""
-    p, tau_bulk, s_lo, s_up = det_closures(cfg, q, topo, extra)
-    FxH, FyH = hyperbolicFlux(q, p)
-    FxD, FyD = diffusiveFlux(q, tau_bulk)
-    Fx = FxH + FxD
-    Fy = FyH + FyD
-    # pltpu.roll needs a non-negative static shift; d is +-1
-    flux_x = -d * (pltpu.roll(Fx, d % Fx.shape[1], axis=1) - Fx)
-    flux_y = -d * (pltpu.roll(Fy, d % Fy.shape[2], axis=2) - Fy)
-    src = source(q, topo, tau_bulk, s_lo, s_up)
-    upd = dt * (flux_x / cfg.dx + flux_y / cfg.dy - src)
-    if return_upd:
-        return upd
-    return q - upd
-
 
 def _eta_fused(cfg, rho, p):
     """Per-cell shear viscosity for the fused kernels (piezoviscous or
@@ -351,8 +337,8 @@ def _advance_comp(cfg, k, d0, d1, chs, st, dt):
     accumulation: the step increment is formed at full relative precision
     (((q* - q) - u)/2, Sterbenz-exact predictor difference) and two-summed
     into the carry — the same arithmetic, in the same order, as the
-    per-step emit_delta kernel + host Kahan update in make_pallas_loop,
-    so results are bit-equal."""
+    per-step emit_delta kernel + host Kahan update in make_pallas_loop
+    (equality to f32 rounding; tests/test_pallas.py)."""
     q0, q1, q2, l0, l1, l2 = chs
     for _ in range(k):
         a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
@@ -860,46 +846,6 @@ def _kernel_fused_vmem(cfg, bs, nx, n_steps, d0, d1,
         cp.wait()
 
 
-def _kernel_generic(cfg, bs, d0, d1, emit_delta,
-                    dt_ref, q_hbm, topo_hbm, extra_hbm, out_ref,
-                    q_loc, topo_loc, extra_loc, sems):
-    i = pl.program_id(0)
-    x0 = pl.multiple_of(i * bs, 8)
-    rows = bs + 2 * HALO_X
-
-    cp_q = pltpu.make_async_copy(
-        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
-    cp_t = pltpu.make_async_copy(
-        topo_hbm.at[:, pl.ds(x0, rows), :], topo_loc, sems.at[1])
-    cp_e = pltpu.make_async_copy(
-        extra_hbm.at[:, pl.ds(x0, rows), :], extra_loc, sems.at[2])
-    cp_q.start()
-    cp_t.start()
-    cp_e.start()
-    cp_q.wait()
-    cp_t.wait()
-    cp_e.wait()
-
-    dt = dt_ref[0]
-    q0 = q_loc[:]
-    topo = topo_loc[:]
-    extra = extra_loc[:]
-
-    q1 = _one_pass_generic(cfg, q0, topo, extra, dt, d0)
-
-    sl = slice(HALO_X, HALO_X + bs)
-    if emit_delta:
-        u = _one_pass_generic(cfg, q1, topo, extra, dt, d1, return_upd=True)
-        out_ref[:] = ((q1[:, sl] - q0[:, sl]) - u[:, sl]) / 2.
-    else:
-        q2 = _one_pass_generic(cfg, q1, topo, extra, dt, d1)
-        out_ref[:] = (q2[:, sl, :] + q0[:, sl, :]) / 2.
-
-
-# ---------------------------------------------------------------------------
-# Builders
-# ---------------------------------------------------------------------------
-
 def _extend_interior(inner):
     """Periodic x-halo extension: (C, nx, ny) -> (C, nx + 2*HALO_X, ny)."""
     return jnp.concatenate([inner[:, -HALO_X:, :], inner,
@@ -1007,16 +953,13 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                          "(see pallas_supported)")
     if bs is None:
         bs = _auto_bs(nx, ny)
-    if not _fused_applicable(cfg):
-        # the generic physics path keeps ~3x more live VMEM temporaries
-        bs = min(bs, 16)
     bs = min(bs, nx)
     assert nx % bs == 0 and bs % 8 == 0, \
         "strip size must divide nx and align to 8"
     grid = (nx // bs,)
     rows = bs + 2 * HALO_X
     d0, d1 = [(-1, 1), (1, -1)][(cfg.MC_order + 1) // 2]
-    fused = _fused_applicable(cfg)
+    fused = True   # every supported config runs the factored fused closures
     periodic = _fully_periodic(cfg)
 
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -1028,11 +971,10 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         compiler_params=params,
     )
 
-    if fused and (not periodic or cfg.thinning is not None):
-        # thinning routes through the ghost-explicit layout even when
-        # fully periodic (np.gradient ghost-row semantics need explicit
-        # ghost positions)
+    if not periodic or cfg.thinning is not None:
         # boundary variant: explicit ghost rows/cols, refilled in-kernel
+        # (all thinning configs land here: pallas_supported restricts
+        # thinning to non-periodic x edges)
         W = _pad_width(ny)
         per_x = all(cfg.bc_edge(0)["P"])
         kernel = partial(_kernel_fused_bc, cfg, bs, ny, grid[0], d0, d1,
@@ -1215,23 +1157,6 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 ],
                 **common,
             )(dt, q_ext, stat_ext)
-    else:
-        kernel = partial(_kernel_generic, cfg, bs, d0, d1, emit_delta)
-
-        def call(q_ext, topo_ext, extra_ext, dt):
-            n_extra = extra_ext.shape[0]
-            return pl.pallas_call(
-                kernel,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                         + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
-                scratch_shapes=[
-                    pltpu.VMEM((3, rows, ny), dtype),
-                    pltpu.VMEM((4, rows, ny), dtype),
-                    pltpu.VMEM((n_extra, rows, ny), dtype),
-                    pltpu.SemaphoreType.DMA((3,)),
-                ],
-                **common,
-            )(dt, q_ext, topo_ext, extra_ext)
 
     return (call, extend, reassemble, fused, ext_step, call_ext,
             vmem_loop_factory, hbm_loop_factory)

@@ -1,8 +1,11 @@
 """Pallas fused stencil kernel equals the XLA fused step (interpret mode).
 
 Runs the kernel through the Pallas interpreter on CPU so the hot-path
-physics is covered by CI without TPU hardware; on TPU the same comparison
-is bit-exact (verified on hardware during development).
+physics is covered by CI without TPU hardware; the same comparisons hold
+on TPU (verified on hardware during development).  All comparisons use
+PERTURBED states (see ``perturbed``) — the unperturbed journal state is
+f32-frozen and would pass trivially — and component-scaled tolerances
+(distinct compiled programs agree to f32 rounding, not bitwise).
 """
 
 import numpy as np
@@ -14,6 +17,13 @@ from gapflow_tpu import Problem
 from gapflow_tpu.core.step import make_det_step
 from gapflow_tpu.ops import pallas_supported
 
+
+SIM_BC_GRID = """    Nx: 32
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007"""
 
 sim = """
 options:
@@ -48,6 +58,50 @@ properties:
 """
 
 
+def perturbed(problem, seed=0, amp=0.01):
+    """Non-inert state for kernel comparisons.
+
+    The journal initial state is f32-FROZEN: per-step increments fall
+    below one ulp of rho ~ 877.7, so an unperturbed comparison holds
+    trivially (all gradients stay exactly zero) and exercises nothing.
+    A relative density + small flux perturbation makes every term live.
+    ``amp``: with the DH EOS (C1=3.5e10), pressure swings ~ amp*C1 —
+    keep amp*C1 below Roelands' p_ref (2e8) for piezoviscous configs,
+    where (1+p/p_ref)^z NaNs for large negative p (and the reference
+    step then silently rolls back via its validity cond)."""
+    from gapflow_tpu.core.step import apply_bcs
+    st = problem._make_state()
+    rng = np.random.default_rng(seed)
+    q = np.array(st.q)
+    q[0] *= 1. + amp * rng.standard_normal(q[0].shape)
+    q[1] += 0.1 * amp * float(np.mean(q[0])) * rng.standard_normal(q[0].shape)
+    return st._replace(q=apply_bcs(jnp.asarray(q, st.q.dtype),
+                                   problem._solver_cfg))
+
+
+def as_f32(state):
+    """Cast the whole SimState to float32 so the XLA reference runs the
+    same precision as the kernel (f64-ref-vs-f32-kernel differences are
+    dominated by f32 rounding of the reference, ~30 ulps)."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, state)
+
+
+def scaled_err(a, b):
+    """Max abs difference scaled by each component's max magnitude.
+
+    Pointwise relative error is meaningless where jy crosses zero;
+    distinct compiled programs (XLA vs Mosaic, one-step vs temporal-
+    blocked) agree to f32 rounding — ~1e-7 per step, up to ~2e-6 after
+    several steps — not bitwise.  Real kernel bugs sit orders above
+    (the periodic-x thinning seam bug measured 6e-5 in ONE step)."""
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(b).reshape(b.shape[0], -1).max(axis=1)
+    return float(np.max(np.abs(a - b)
+                        / scale[(slice(None),) + (None,) * (b.ndim - 1)]))
+
+
 def test_pallas_step_matches_xla_interpret(monkeypatch):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -55,7 +109,7 @@ def test_pallas_step_matches_xla_interpret(monkeypatch):
     problem._pre_run()
     assert pallas_supported(problem._solver_cfg, problem.grid["Ny"])
 
-    state = problem._make_state()
+    state = as_f32(perturbed(problem))
     det = make_det_step(problem._solver_cfg, with_aux=False)
     ref = np.asarray(det(state).q, dtype=np.float32)
 
@@ -69,7 +123,7 @@ def test_pallas_step_matches_xla_interpret(monkeypatch):
         make_pallas_step.cache_clear()
         _make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 @pytest.mark.parametrize("props", [
@@ -89,7 +143,7 @@ def test_pallas_piezo_step_matches_xla_interpret(props):
     assert cfg.piezo is not None
     assert pallas_supported(cfg, problem.grid["Ny"])
 
-    state = problem._make_state()
+    state = as_f32(perturbed(problem, amp=1e-4))
     det = make_det_step(cfg, with_aux=False)
     ref = np.asarray(det(state).q, dtype=np.float32)
 
@@ -103,7 +157,7 @@ def test_pallas_piezo_step_matches_xla_interpret(props):
         make_pallas_step.cache_clear()
         _make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 def test_pallas_bayada_mixture_matches_xla_interpret():
@@ -127,7 +181,7 @@ def test_pallas_bayada_mixture_matches_xla_interpret():
     assert cfg.prop["EOS"] == "Bayada" and cfg.piezo is not None
     assert pallas_supported(cfg, problem.grid["Ny"])
 
-    state = problem._make_state()
+    state = as_f32(perturbed(problem, amp=1e-4))
     det = make_det_step(cfg, with_aux=False)
     ref = np.asarray(det(state).q, dtype=np.float32)
 
@@ -141,13 +195,19 @@ def test_pallas_bayada_mixture_matches_xla_interpret():
         make_pallas_step.cache_clear()
         _make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 @pytest.mark.parametrize("extra_props,extra_grid", [
     # fully periodic journal + piezo + Eyring thinning
+    # D/N x edges + piezo + Eyring thinning
     ("    piezo: {name: Barus, aB: 2.e-9}\n"
-     "    thinning: {name: Eyring, tauE: 5.e5}\n", ""),
+     "    thinning: {name: Eyring, tauE: 5.e5}\n",
+     """
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007"""),
     # D/N x edges + Carreau thinning
     ("    thinning: {name: Carreau, lam: 1.e-8, a: 2., N: 0.5}\n",
      """
@@ -171,7 +231,7 @@ def test_pallas_thinning_step_matches_xla_interpret(extra_props,
     assert cfg.thinning is not None
     assert pallas_supported(cfg, problem.grid["Ny"])
 
-    state = problem._make_state()
+    state = as_f32(perturbed(problem))
     det = make_det_step(cfg, with_aux=False)
     ref = np.asarray(det(state).q, dtype=np.float32)
 
@@ -185,19 +245,31 @@ def test_pallas_thinning_step_matches_xla_interpret(extra_props,
         make_pallas_step.cache_clear()
         _make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
+
+
+def test_thinning_periodic_x_not_pallas_supported():
+    """Periodic-x thinning keeps the XLA path: the serial scheme re-wraps
+    the x ghost rows from the remote seam interior after every pass,
+    which a strip-local kernel cannot reproduce once thinning's
+    one-sided eta breaks translation invariance at the ghost row."""
+    sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    problem = Problem.from_string(sim_th)
+    problem._pre_run()
+    assert not pallas_supported(problem._solver_cfg, problem.grid["Ny"])
 
 
 def test_pallas_thinning_loop_matches_per_step():
     """Temporal-blocked loop (k=2 for thinning) equals per-step stepping
-    for a fully periodic thinning config."""
+    for a D/N-x thinning config."""
     from jax.experimental.pallas import tpu as pltpu
 
-    sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    sim_th = sim.replace("""    Nx: 32
+    Ny: 128""", SIM_BC_GRID) + "    thinning: {name: Eyring, tauE: 5.e5}\n"
     problem = Problem.from_string(sim_th)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -220,7 +292,7 @@ def test_pallas_thinning_loop_matches_per_step():
         stencil.make_pallas_loop.cache_clear()
         stencil._make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 def test_pallas_bc_step_matches_xla_interpret():
@@ -241,7 +313,7 @@ def test_pallas_bc_step_matches_xla_interpret():
     problem._pre_run()
     assert pallas_supported(problem._solver_cfg, problem.grid["Ny"])
 
-    state = problem._make_state()
+    state = as_f32(perturbed(problem))
     det = make_det_step(problem._solver_cfg, with_aux=False)
     ref = np.asarray(det(state).q, dtype=np.float32)
 
@@ -255,7 +327,7 @@ def test_pallas_bc_step_matches_xla_interpret():
         make_pallas_step.cache_clear()
         _make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 def test_pallas_compensated_loop_matches_plain():
@@ -269,7 +341,7 @@ def test_pallas_compensated_loop_matches_plain():
 
     problem = Problem.from_string(sim)
     problem._pre_run()
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops.stencil import make_pallas_loop, _make_call
@@ -290,11 +362,11 @@ def test_pallas_compensated_loop_matches_plain():
         _make_call.cache_clear()
 
     out_p, out_c = outs[jnp.float64]
-    np.testing.assert_allclose(out_c, out_p, rtol=1e-9, atol=1e-9)
+    assert scaled_err(out_c, out_p) < 1e-8
 
     out_p, out_c = outs[jnp.float32]
     assert np.all(np.isfinite(out_c))
-    np.testing.assert_allclose(out_c, out_p, rtol=5e-3, atol=1e-6)
+    assert scaled_err(out_c, out_p) < 5e-3
 
 
 def test_pallas_multi_step_matches_ext():
@@ -305,7 +377,7 @@ def test_pallas_multi_step_matches_ext():
     problem = Problem.from_string(sim)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -326,8 +398,7 @@ def test_pallas_multi_step_matches_ext():
         out = call_multi(q_ext, stat_ext, dt)
         stencil._make_call.cache_clear()
 
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 def test_pallas_bc_multi_step_matches_onestep():
@@ -348,7 +419,7 @@ def test_pallas_bc_multi_step_matches_onestep():
     problem = Problem.from_string(sim_bc)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -371,8 +442,7 @@ def test_pallas_bc_multi_step_matches_onestep():
         out_int = out_ext[:, stencil.HALO_X:stencil.HALO_X + 32, :128]
         stencil._make_call.cache_clear()
 
-    np.testing.assert_allclose(np.asarray(out_int), np.asarray(q_int),
-                               rtol=2e-4, atol=1e-8)
+    assert scaled_err(out_int, q_int) < 1e-5
 
 
 def test_pallas_loop_bc_matches_per_step():
@@ -393,7 +463,7 @@ def test_pallas_loop_bc_matches_per_step():
     problem = Problem.from_string(sim_bc)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -415,7 +485,7 @@ def test_pallas_loop_bc_matches_per_step():
         stencil.make_pallas_loop.cache_clear()
         stencil._make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5
 
 
 def test_pallas_hbm_loop_matches_ext():
@@ -426,7 +496,7 @@ def test_pallas_hbm_loop_matches_ext():
     problem = Problem.from_string(sim)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -445,9 +515,7 @@ def test_pallas_hbm_loop_matches_ext():
             for _ in range(n_sweeps * stencil.K_MULTI):
                 ref = call_ext(ref, stat_ext, dt)
             out = hbm_factory(n_sweeps)(q_ext, stat_ext, dt)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                       rtol=2e-4, atol=1e-8,
-                                       err_msg=f"n_sweeps={n_sweeps}")
+            assert scaled_err(out, ref) < 1e-5, f"n_sweeps={n_sweeps}"
         stencil._make_call.cache_clear()
 
 
@@ -459,7 +527,7 @@ def test_pallas_comp_hbm_matches_per_step():
     problem = Problem.from_string(sim)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -512,7 +580,7 @@ def test_pallas_bc_hbm_loop_matches_onestep():
     problem = Problem.from_string(sim_bc)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -533,22 +601,21 @@ def test_pallas_bc_hbm_loop_matches_onestep():
                 q_int = call(ext_step(q_int), stat_ext, dt)
             out_ext = hbm_factory(n_sweeps)(extend(qf), stat_ext, dt)
             out = out_ext[:, stencil.HALO_X:stencil.HALO_X + 32, :128]
-            np.testing.assert_allclose(np.asarray(out), np.asarray(q_int),
-                                       rtol=2e-4, atol=1e-8,
-                                       err_msg=f"n_sweeps={n_sweeps}")
+            assert scaled_err(out, q_int) < 1e-5, f"n_sweeps={n_sweeps}"
         stencil._make_call.cache_clear()
 
 
 def test_pallas_thinning_hbm_loop_matches_per_step():
-    """Whole-run ghost-explicit kernel with in-kernel thinning (periodic,
+    """Whole-run ghost-explicit kernel with in-kernel thinning (D/N x,
     k=2) through make_pallas_loop equals per-step stepping."""
     from jax.experimental.pallas import tpu as pltpu
 
-    sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    sim_th = sim.replace("""    Nx: 32
+    Ny: 128""", SIM_BC_GRID) + "    thinning: {name: Eyring, tauE: 5.e5}\n"
     problem = Problem.from_string(sim_th)
     problem._pre_run()
     cfg = problem._solver_cfg
-    state = problem._make_state()
+    state = perturbed(problem)
 
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
@@ -570,4 +637,4 @@ def test_pallas_thinning_hbm_loop_matches_per_step():
         stencil.make_pallas_loop.cache_clear()
         stencil._make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-8)
+    assert scaled_err(out, ref) < 1e-5

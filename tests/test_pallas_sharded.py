@@ -71,7 +71,11 @@ def test_sharded_pallas_matches_serial(shape):
     if by % 8:
         pytest.skip("block width must stay 8-aligned")
 
-    q = jnp.asarray(problem.q, jnp.float32)
+    rng = np.random.default_rng(3)
+    qp = np.array(problem.q)
+    qp[0] *= 1. + 0.01 * rng.standard_normal(qp[0].shape)
+    from gapflow_tpu.core.step import apply_bcs
+    q = apply_bcs(jnp.asarray(qp, jnp.float32), problem._solver_cfg)
     topo = np.asarray(problem.topo.full, np.float32)
     extra = np.asarray(problem.fc.get_real_field("extra").p, np.float32)
     dt = jnp.asarray(problem.dt, jnp.float32)
@@ -101,4 +105,8 @@ def test_sharded_pallas_matches_serial(shape):
         make_sharded_pallas_loop.cache_clear()
         _make_call.cache_clear()
 
-    np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+    # serial (whole-run-in-VMEM at this size) and sharded (per-exchange
+    # blocked kernel) are DIFFERENT compiled programs: equality holds to
+    # f32 rounding, not bitwise
+    scale = np.abs(ref).reshape(3, -1).max(axis=1)[:, None, None]
+    assert np.max(np.abs(out - ref) / scale) < 1e-5
