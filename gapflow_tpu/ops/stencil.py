@@ -355,59 +355,40 @@ def _advance_comp(cfg, k, d0, d1, chs, st, dt):
     return q0, q1, q2, l0, l1, l2
 
 
-def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
-                           advance_chs, nch,
-                           dt_ref, q_hbm, st_hbm, outA, outB,
-                           q_loc, st_loc, out_loc, sems):
-    """Whole-run temporal-blocked variant for VMEM-exceeding grids: the
-    full n_sweeps*k-step loop runs in ONE pallas_call, ping-ponging the
-    halo-extended state between two HBM buffers (sweep s reads q_hbm for
-    s=0 else the previous sweep's output, writes outA for even s, outB
-    for odd s).  Each (sweep, strip) grid cell advances its strip k steps
-    in VMEM (trapezoid tiling, see class docstring), double-buffered by
-    global iteration parity.
+def _hbm_schedule(n_strips, n_sweeps, q_hbm, outA, outB,
+                  start_in, wait_in, out_copy, compute, store,
+                  halo_writes):
+    """Shared scheduling skeleton of the whole-run HBM ping-pong kernels.
 
-    Why one call: besides kernel-launch overhead, a lax.fori_loop of
-    pallas_calls pays a fixed per-iteration dispatch cost (milliseconds
-    through a tunneled device) that dominates the actual sweep time at
-    2048^2; folding the loop into the grid pays it once per run.
+    Grid = (n_sweeps, n_strips), iterated sequentially, sweep-major.
+    Sweep s reads q_hbm (s=0) or the previous sweep's write buffer, and
+    writes outA for even s, outB for odd s.  Inputs and outputs are
+    double-buffered by global iteration parity g = s*n_strips + i.
 
-    Synchronization invariants (grid iterates sequentially on the core,
-    sweep-major):
-    - input slot g%2 (g = s*n_strips + i) is overwritten by the prefetch
-      issued at iteration g-1, whose previous occupant (g-2) was consumed
-      at g-2;
+    Synchronization invariants:
+    - input slot g%2 is overwritten by the prefetch issued at iteration
+      g-1, whose previous occupant (g-2) was consumed at g-2;
     - within a sweep, iteration (s,i) top-prefetches (s,i+1) from the
-      stable read buffer;
+      stable read buffer ((s,0)/(s,1) are covered by the g==0 block or
+      the previous sweep's drain);
     - the LAST strip of each sweep drains all outstanding output DMAs,
-      then prefetches (s+1, 0) from the just-completed write buffer, so
-      cross-sweep reads never race writes;
+      then prefetches (s+1, 0)/(s+1, 1) from the just-completed write
+      buffer, so cross-sweep reads never race writes;
     - out DMA of (s,j) is waited at (s,j+2) before its slot's reuse for
       j <= n_strips-3, and by the sweep drain for the last two strips.
+
+    Callbacks (slot is a static python int, i/strip indices traced):
+    - start_in(slot, src_ref, strip): start the input DMAs for a strip;
+    - wait_in(slot): wait them;
+    - out_copy(slot, dst_ref, strip): the output DMA descriptor;
+    - compute(slot): k-step advance of the strip, returns channel arrays;
+    - store(slot, chs): write them into the out staging buffer;
+    - halo_writes(slot, with_dst): first/last-strip halo block writes
+      (internally gated on the strip index).
     """
     s = pl.program_id(0)
     i = pl.program_id(1)
     g = s * n_strips + i
-    rows = bs + 2 * HALO_X
-
-    def start_in(slot, src, strip):
-        x0 = pl.multiple_of(strip * bs, 8)
-        pltpu.make_async_copy(src.at[:, pl.ds(x0, rows), :],
-                              q_loc.at[slot], sems.at[slot]).start()
-        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
-                              st_loc.at[slot], sems.at[2 + slot]).start()
-
-    def wait_in(slot):
-        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
-                              q_loc.at[slot], sems.at[slot]).wait()
-        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
-                              st_loc.at[slot], sems.at[2 + slot]).wait()
-
-    def out_copy(slot, dst, strip):
-        x0 = pl.multiple_of(strip * bs, 8)
-        return pltpu.make_async_copy(
-            out_loc.at[slot],
-            dst.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
 
     def wait_out(slot):
         out_copy(slot, outA, 0).wait()
@@ -443,8 +424,6 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
             start_in(1, q_hbm, 1)
 
     if n_strips > 2:
-        # top prefetch of (s, i+1) for 1 <= i <= n_strips-2 ((s, 0) and
-        # (s, 1) are covered by the g==0 block / the sweep-boundary block)
         @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 0))
         def _():
             with_src(lambda src: start_in(1, src, i + 1))
@@ -453,27 +432,98 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
         def _():
             with_src(lambda src: start_in(0, src, i + 1))
 
-    dt = dt_ref[0]
-
     def advance(slot):
         wait_in(slot)
-        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
-        chs = tuple(q_loc[slot, c] for c in range(nch))
-
-        chs = advance_chs(cfg, k, d0, d1, chs, st, dt)
+        chs = compute(slot)
 
         # slot-reuse guard: this slot's previous out DMA (iteration g-2,
-        # same sweep — cross-sweep ones were drained at the boundary)
+        # same sweep -- cross-sweep ones were drained at the boundary)
         @pl.when(i >= 2)
         def _():
             wait_out(slot)
 
+        store(slot, chs)
+        with_dst(lambda dst: out_copy(slot, dst, i).start())
+        halo_writes(slot, with_dst)
+
+        # sweep-boundary drain + cross-sweep prefetch
+        @pl.when(i == n_strips - 1)
+        def _():
+            wait_out(slot)
+            if n_strips > 1:
+                wait_out(1 - slot)
+
+            @pl.when(s + 1 < n_sweeps)
+            def _():
+                # (s+1, 0) lands in slot (g+1)%2 = 1-slot, (s+1, 1) back
+                # in this slot (whose compute is done)
+                with_dst(lambda dst: start_in(1 - slot, dst, 0))
+                if n_strips > 1:
+                    with_dst(lambda dst: start_in(slot, dst, 1))
+
+    @pl.when(g % 2 == 0)
+    def _():
+        advance(0)
+
+    @pl.when(g % 2 == 1)
+    def _():
+        advance(1)
+
+
+def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
+                           advance_chs, nch,
+                           dt_ref, q_hbm, st_hbm, outA, outB,
+                           q_loc, st_loc, out_loc, sems):
+    """Whole-run temporal-blocked variant for VMEM-exceeding grids: the
+    full n_sweeps*k-step loop runs in ONE pallas_call, ping-ponging the
+    halo-extended state between two HBM buffers.  Each (sweep, strip)
+    grid cell advances its strip k steps in VMEM (trapezoid tiling: each
+    one-sided pass corrupts one more row inward from the strip edge, so
+    the bs-row interior stays exact for 2k <= HALO_X), double-buffered
+    per :func:`_hbm_schedule`.
+
+    Why one call: besides kernel-launch overhead, a lax.fori_loop of
+    pallas_calls pays a fixed per-iteration dispatch cost (milliseconds
+    through a tunneled device) that dominates the actual sweep time at
+    2048^2; folding the loop into the grid pays it once per run.
+    """
+    i = pl.program_id(1)
+    rows = bs + 2 * HALO_X
+    dt = dt_ref[0]
+
+    def start_in(slot, src, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        pltpu.make_async_copy(src.at[:, pl.ds(x0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).start()
+
+    def wait_in(slot):
+        # reconstructed descriptors: .wait() only needs the transfer size
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).wait()
+
+    def out_copy(slot, dst, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        return pltpu.make_async_copy(
+            out_loc.at[slot],
+            dst.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
+
+    def compute(slot):
+        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
+        chs = tuple(q_loc[slot, c] for c in range(nch))
+        return advance_chs(cfg, k, d0, d1, chs, st, dt)
+
+    def store(slot, chs):
         sl = slice(HALO_X, HALO_X + bs)
         for c in range(nch):
             out_loc[slot, c] = chs[c][sl]
-        with_dst(lambda dst: out_copy(slot, dst, i).start())
 
-        # periodic halo images (tiny, waited inline)
+    def halo_writes(slot, with_dst):
+        # periodic halo images (tiny transfers, waited inline): interior
+        # rows [0, H) -> top halo, interior rows [nx-H, nx) -> bottom halo
         @pl.when(i == 0)
         def _():
             def halo(dst):
@@ -494,44 +544,24 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
                 cp.wait()
             with_dst(halo)
 
-        # sweep-boundary drain + cross-sweep prefetch
-        @pl.when(i == n_strips - 1)
-        def _():
-            wait_out(slot)
-            if n_strips > 1:
-                wait_out(1 - slot)
-
-            @pl.when(s + 1 < n_sweeps)
-            def _():
-                # next sweep reads what this sweep wrote; (s+1, 0) lands
-                # in slot (g+1)%2 = 1-slot, (s+1, 1) back in this slot
-                # (whose compute is done)
-                with_dst(lambda dst: start_in(1 - slot, dst, 0))
-                if n_strips > 1:
-                    with_dst(lambda dst: start_in(slot, dst, 1))
-
-    @pl.when(g % 2 == 0)
-    def _():
-        advance(0)
-
-    @pl.when(g % 2 == 1)
-    def _():
-        advance(1)
+    _hbm_schedule(n_strips, n_sweeps, q_hbm, outA, outB,
+                  start_in, wait_in, out_copy, compute, store, halo_writes)
 
 
 def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
                          d0, d1,
                          dt_ref, q_hbm, st_hbm, outA, outB,
                          q_loc, st_loc, out_loc, sems):
-    """Ghost-explicit variant of :func:`_kernel_fused_hbm_loop`: the entire
-    n_sweeps*k-step loop in ONE pallas_call on the ghost-explicit layout,
-    ping-ponging between two HBM buffers exactly like
-    :func:`_kernel_fused_hbm_loop` (same scheduling invariants), with
-    in-kernel ghost refills per pass and per temporal average."""
-    s = pl.program_id(0)
+    """Ghost-explicit variant of :func:`_kernel_fused_hbm_loop`: the
+    entire n_sweeps*k-step loop in ONE pallas_call on the W-padded
+    layout, with in-kernel ghost refills per pass and per temporal
+    average (the same `_refill_ghosts` formulas as the one-step boundary
+    kernel).  Domain edges consume no halo -- the ghost refill resets
+    the adjacent row exactly each pass -- so only inter-strip edges
+    shrink (2 rows/step without thinning, 4 with; see _k_steps)."""
     i = pl.program_id(1)
-    g = s * n_strips + i
     rows = bs + 2 * HALO_X
+    dt = dt_ref[0]
 
     def start_in(slot, src, strip):
         x0 = pl.multiple_of(strip * bs, 8)
@@ -552,50 +582,7 @@ def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
             out_loc.at[slot, :, pl.ds(HALO_X, bs), :],
             dst.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
 
-    def wait_out(slot):
-        out_copy(slot, outA, 0).wait()
-
-    def with_src(fn):
-        @pl.when(s == 0)
-        def _():
-            fn(q_hbm)
-
-        @pl.when((s > 0) & (s % 2 == 1))
-        def _():
-            fn(outA)
-
-        @pl.when((s > 0) & (s % 2 == 0))
-        def _():
-            fn(outB)
-
-    def with_dst(fn):
-        @pl.when(s % 2 == 0)
-        def _():
-            fn(outA)
-
-        @pl.when(s % 2 == 1)
-        def _():
-            fn(outB)
-
-    @pl.when(g == 0)
-    def _():
-        start_in(0, q_hbm, 0)
-        if n_strips > 1:
-            start_in(1, q_hbm, 1)
-
-    if n_strips > 2:
-        @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 0))
-        def _():
-            with_src(lambda src: start_in(1, src, i + 1))
-
-        @pl.when((i >= 1) & (i + 1 < n_strips) & (g % 2 == 1))
-        def _():
-            with_src(lambda src: start_in(0, src, i + 1))
-
-    dt = dt_ref[0]
-
-    def advance(slot):
-        wait_in(slot)
+    def compute(slot):
         st = tuple(st_loc[slot, c] for c in range(N_STATIC))
         q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
         thin = (bs, ny, i == 0, i == n_strips - 1) \
@@ -610,18 +597,16 @@ def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
             q2 = (c + q2) / 2.
             q0, q1, q2 = _refill_ghosts(cfg, (q0, q1, q2), bs, ny, i,
                                         n_strips)
+        return q0, q1, q2
 
-        @pl.when(i >= 2)
-        def _():
-            wait_out(slot)
+    def store(slot, chs):
+        for c in range(3):
+            out_loc[slot, c] = chs[c]
 
-        out_loc[slot, 0] = q0
-        out_loc[slot, 1] = q1
-        out_loc[slot, 2] = q2
-        with_dst(lambda dst: out_copy(slot, dst, i).start())
-
+    def halo_writes(slot, with_dst):
         # halo blocks (tiny, waited inline)
         if per_x:
+            # periodic wrap images, as in the periodic kernel
             @pl.when(i == 0)
             def _():
                 def halo(dst):
@@ -643,6 +628,8 @@ def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
                     cp.wait()
                 with_dst(halo)
         else:
+            # refreshed ghost row lives at local row H-1 / H+bs; write
+            # the whole 8-aligned halo block (deeper rows are dead)
             @pl.when(i == 0)
             def _():
                 def halo(dst):
@@ -664,30 +651,9 @@ def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
                     cp.wait()
                 with_dst(halo)
 
-        @pl.when(i == n_strips - 1)
-        def _():
-            wait_out(slot)
-            if n_strips > 1:
-                wait_out(1 - slot)
+    _hbm_schedule(n_strips, n_sweeps, q_hbm, outA, outB,
+                  start_in, wait_in, out_copy, compute, store, halo_writes)
 
-            @pl.when(s + 1 < n_sweeps)
-            def _():
-                with_dst(lambda dst: start_in(1 - slot, dst, 0))
-                if n_strips > 1:
-                    with_dst(lambda dst: start_in(slot, dst, 1))
-
-    @pl.when(g % 2 == 0)
-    def _():
-        advance(0)
-
-    @pl.when(g % 2 == 1)
-    def _():
-        advance(1)
-
-
-# ---------------------------------------------------------------------------
-# Kernels
-# ---------------------------------------------------------------------------
 
 def _kernel_fused(cfg, bs, d0, d1, emit_delta,
                   dt_ref, q_hbm, st_hbm, out_ref, q_loc, st_loc, sems):

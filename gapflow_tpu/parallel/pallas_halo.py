@@ -123,7 +123,11 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
 
         # statics for the blocked kernel: true HALO_X-deep halos, built by
         # one exchange of the interior blocks (statics are elementwise in
-        # topo/extra, so exchanged inputs give exact halo statics)
+        # topo/extra, so exchanged inputs give exact halo statics).
+        # Built unconditionally: gating on n_steps >= K_MULTI would put
+        # the ppermutes under lax.cond, which is fragile inside
+        # shard_map; remainder-only calls (n_steps < 4) pay two small
+        # unused exchange rounds.
         topo8 = _exchange_deep(topo2.astype(dtype)[:, 2:-2, 2:-2], HALO_X)
         extra8 = _exchange_deep(extra2.astype(dtype)[:, 2:-2, 2:-2],
                                 HALO_X)
