@@ -1,0 +1,112 @@
+"""Multi-host (DCN) spatial decomposition glue.
+
+Scales the single-controller mesh machinery of :mod:`.halo` /
+:mod:`.pallas_halo` across TPU hosts: the same sharded step/loop programs
+run unchanged over a GLOBAL mesh — JAX inserts ``ppermute`` neighbor
+exchanges over ICI within a slice and over DCN between hosts.  What this
+module adds is the orchestration the reference lacks entirely (its only
+multi-process machinery is MPI spawning of LAMMPS workers,
+GaPFlow/md/runner.py:50-65):
+
+- :func:`init_distributed` — one-call ``jax.distributed`` bring-up
+  (coordinator discovery via env vars on Cloud TPU, explicit args
+  elsewhere).  Safe to call in single-process runs (no-op).
+- :func:`global_grid_mesh` — a 2D ('x', 'y') mesh over ALL processes'
+  devices, built with ``mesh_utils.create_device_mesh`` so neighboring
+  shards sit on ICI-adjacent chips wherever the topology allows; the
+  host boundary then cuts only one mesh axis, and only those halo
+  exchanges traverse DCN.  Halo traffic per step is O(perimeter), so
+  the DCN share shrinks as 1/block-size — spatial decomposition is the
+  rare parallelism whose cross-host volume is asymptotically negligible.
+- :func:`scatter_global` / :func:`gather_global` — move host-local
+  numpy data into a globally-sharded array and back (every process must
+  call them collectively; gather returns the full array on all hosts).
+
+Typical multi-host driver (same script launched once per host)::
+
+    from gapflow_tpu.parallel import multihost as mh
+    mh.init_distributed()                    # env-configured
+    mesh = mh.global_grid_mesh()
+    loop = make_sharded_pallas_loop(cfg, mesh, nx, ny)
+    q = mh.scatter_global(q_host, mesh)      # P(None, 'x', 'y')
+    q = loop(q, topo_blocks, extra_blocks, dt, n)
+    q_full = mh.gather_global(q)
+
+Untested on real pods in this environment (single chip); the
+single-process degenerate path is covered by tests/test_sharding.py.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize ``jax.distributed`` for a multi-host run.
+
+    With no arguments, relies on the environment (Cloud TPU pods
+    auto-discover the coordinator).  A no-op when already initialized or
+    when the run is single-process with no coordinator configured.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None \
+            and "COORDINATOR_ADDRESS" not in os.environ \
+            and not os.environ.get("TPU_WORKER_HOSTNAMES"):
+        return  # single-process run
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError:
+        pass  # initialize() raises if called twice
+
+
+def global_grid_mesh(shape=None, axis_names=("x", "y")):
+    """2D mesh over every device of every process.
+
+    ``shape=(px, py)`` must multiply to the global device count; by
+    default the squarest factorization is used.  Uses
+    ``mesh_utils.create_device_mesh`` so mesh-adjacent shards map to
+    physically adjacent chips (halo exchange rides ICI; only the
+    host-boundary rows cross DCN).
+    """
+    from jax.experimental import mesh_utils
+
+    n = jax.device_count()
+    if shape is None:
+        px = int(np.floor(np.sqrt(n)))
+        while n % px:
+            px -= 1
+        shape = (px, n // px)
+    assert shape[0] * shape[1] == n, \
+        f"mesh {shape} does not cover {n} devices"
+    devs = mesh_utils.create_device_mesh(shape)
+    return Mesh(devs, axis_names)
+
+
+def scatter_global(host_array, mesh, spec=None):
+    """Host-local full array -> globally sharded device array.
+
+    Every process passes the SAME full array (the usual case for
+    problem setup, which is deterministic from the config); each device
+    keeps only its shard.
+    """
+    spec = spec or P(None, "x", "y")
+    sharding = NamedSharding(mesh, spec)
+    host_array = np.asarray(host_array)
+    # every device picks its slice out of the (replicated) full array —
+    # correct for one process and for many
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])
+
+
+def gather_global(arr):
+    """Globally sharded array -> full numpy array on every host."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr))

@@ -80,3 +80,24 @@ def test_sharded_matches_serial(sim):
     q_sharded = np.asarray(runner(q, topo, extra, pp.dt))
 
     np.testing.assert_allclose(q_sharded, q_serial, rtol=1e-12, atol=1e-12)
+
+
+def test_multihost_glue_single_process():
+    """Single-process degenerate path of the multi-host helpers: init is
+    a no-op, the global mesh covers the virtual devices, and a
+    scatter/step/gather round-trip matches the local path."""
+    import numpy as np
+    import jax
+    from gapflow_tpu.parallel import multihost as mh
+
+    mh.init_distributed()          # no coordinator configured -> no-op
+    assert jax.process_count() == 1
+
+    mesh = mh.global_grid_mesh()
+    assert mesh.shape["x"] * mesh.shape["y"] == jax.device_count()
+
+    arr = np.arange(3 * 8 * 16, dtype=np.float64).reshape(3, 8, 16)
+    sharded = mh.scatter_global(arr, mesh)
+    assert sharded.sharding.mesh.shape == mesh.shape
+    back = mh.gather_global(sharded + 1.0)
+    np.testing.assert_array_equal(back, arr + 1.0)
