@@ -83,7 +83,7 @@ def _tol_norm(spec, yerr):
     return jnp.maximum(spec.atol * yerr, spec.rtol) ** 2
 
 
-def make_gp_al_loop(problem, capacity=None, n_candidates=None,
+def make_gp_al_loop(problem, n_candidates=None,
                     refit_steps=40, refit_lr=0.05):
     """Build ``loop(q, gps, pauses, step0, dt, n_steps)`` for a GP Problem.
 
@@ -98,6 +98,11 @@ def make_gp_al_loop(problem, capacity=None, n_candidates=None,
     specs = _surrogate_specs(problem)
     if not specs:
         raise ValueError("no GP surrogates on this problem")
+    if problem.topo.elastic:
+        raise ValueError("run_steps_gp_device does not cover elastic "
+                         "problems: the topography is frozen for the "
+                         "compiled loop, but EHL coupling must deform it "
+                         "from the pressure every step (host path only)")
 
     models = dict(zip(_KEYS, (problem.pressure, problem.wall_stress_xz,
                               problem.wall_stress_yz)))
@@ -123,11 +128,17 @@ def make_gp_al_loop(problem, capacity=None, n_candidates=None,
     else:
         cand_idx = jnp.arange(ncells)
 
+    # frozen COPY: db.add_data re-normalizes db.X_scale after every
+    # acquisition, but x_norm was normalized with the scale captured at
+    # loop build — converting with the live scale would run the MD
+    # oracle at the wrong physical point from the second acquisition on
+    Xscale_host = np.array(db.X_scale, np.float64)
+
     def host_acquire(x_norm):
         """Run the MD oracle through the unchanged host database
         (dtool packaging, output files and all) and hand back the raw
         13-component result."""
-        X_phys = np.asarray(x_norm, np.float64) * np.asarray(db.X_scale)
+        X_phys = np.asarray(x_norm, np.float64) * Xscale_host
         db.add_data(X_phys[None, :])
         return np.asarray(db._Ytrain[-1], dtype=dtype)
 
@@ -177,11 +188,16 @@ def make_gp_al_loop(problem, capacity=None, n_candidates=None,
                 active, al_budget, lambda c: c, (gps, jnp.asarray(0, jnp.int32)))
             n_acq = n_acq + dn
 
-            # pause when the budget ran out and the surrogate is still
-            # untrusted (host: models/gp.py pause_steps protocol)
+            # pause when the budget ran out — or the padded buffer is
+            # full, so no acquisition can ever help — and the surrogate
+            # is still untrusted (host: models/gp.py pause_steps
+            # protocol; without the capacity clause a full, untrusted
+            # surrogate would re-run max_steps no-op variance sweeps
+            # every timestep forever)
             _, var = al_jit.predict(gps[k], Xck)
             untrusted = jnp.max(var) >= _tol_norm(spec, gps[k].yerr)
-            exhausted = active & (dn == spec.max_steps) & untrusted
+            exhausted = active & untrusted & \
+                ((dn == spec.max_steps) | (gps[k].count >= cap))
             pauses = {**pauses,
                       k: jnp.where(exhausted, spec.pause_steps, pauses[k])}
 
@@ -257,9 +273,12 @@ def sync_host(problem, q, gps, pauses, n_steps):
                               problem.wall_stress_yz)))
     for k, gp in gps.items():
         m = models[k]
-        n = int(gp.count)
         m.params = {kk: jnp.asarray(v) for kk, v in gp.params.items()}
-        m._last_fit_train_size = n
+        # deliberately NOT marking the fit current: acquisitions made
+        # db re-normalize X/Y scales, so the device-learned params live
+        # in the frozen normalization — the next host predictor pass
+        # sees db.size > _last_fit_train_size and retrains (from these
+        # params) under the host's current scales
         m.cond_gp = None          # recondition lazily with host data
         m._pause = int(pauses[k])
         m._step += n_steps

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .gp import kernel_fn, _invert_cholesky, _weights_from_inv, _HI
+from .gp import (kernel_fn, _invert_cholesky, _weights_from_inv,
+                 _HI, _nlml_core)
 
 
 class PaddedGP(NamedTuple):
@@ -81,52 +82,15 @@ def masked_nlml(params, X, Y, count, yerr):
 def masked_nlml_value_and_grad(params, X, Y, count, yerr):
     """Analytic value and gradient of :func:`masked_nlml`.
 
-    Same closed-form marginal-likelihood gradient as gp.gp_refit
-    (0.5 tr((m B^{-1} - alpha alpha^T) dK/dtheta)), restricted to the
-    active block: the identity padding is parameter-independent, so the
-    per-hyperparameter kernel derivative is simply masked.  Avoids
-    reverse-mode AD's sequential triangular solves inside the fixed-budget
-    Adam refit loop.
+    Thin wrapper over gp._nlml_core with the padding row mask: the
+    identity padding is parameter-independent, so the per-hyperparameter
+    kernel derivative is simply masked.  Avoids reverse-mode AD's
+    sequential triangular solves inside the fixed-budget Adam refit
+    loop, with ONE shared implementation of the closed-form gradient.
     """
-    n = X.shape[0]
-    amp = jnp.exp(params["log_amp"])
-    inv_scale = jnp.exp(-params["log_scale"])
-    Xs = X * inv_scale
-    sq = jnp.sum(Xs * Xs, axis=1)
-    r2 = sq[:, None] + sq[None, :] - 2. * jnp.dot(Xs, Xs.T, precision=_HI)
-    r = jnp.sqrt(jnp.maximum(0.5 * (r2 + r2.T), 0.) + 1e-14)
-    arg = jnp.sqrt(3.) * r
-    E = jnp.exp(-arg)
-    i = jnp.arange(n)
-    K = (amp * (1. + arg) * E).at[i, i].set(amp)   # pure kernel, diag = amp
-
-    mk = _row_mask(n, count, K.dtype)
-    active = mk[:, None] * mk[None, :]
-    eye = jnp.eye(n, dtype=K.dtype)
-    B = ((K + jnp.asarray(yerr) ** 2 * eye) * active
-         + eye * ((1. - mk)[None, :] * (1. - mk)[:, None]))
-
-    L = jnp.linalg.cholesky(B)
-    Linv = _invert_cholesky(L)
-    alpha, a = _weights_from_inv(Linv, Y)
-
-    Y2 = Y if Y.ndim == 2 else Y[:, None]
-    m = Y2.shape[1]
-    val = (0.5 * jnp.sum(a * a)
-           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
-           + 0.5 * m * count * jnp.log(2. * jnp.pi))
-
-    alpha2 = alpha if alpha.ndim == 2 else alpha[:, None]
-    Binv = jnp.dot(Linv.T, Linv, precision=_HI)
-    G = (m * Binv - jnp.dot(alpha2, alpha2.T, precision=_HI)) * active
-
-    g_amp = 0.5 * jnp.sum(G * K)
-    W = (1.5 * amp) * E * G                      # already masked via G
-    rowsum = jnp.sum(W, axis=1)
-    WX = jnp.dot(W, Xs, precision=_HI)
-    g_scale = 2. * (jnp.sum(rowsum[:, None] * Xs * Xs, axis=0)
-                    - jnp.sum(Xs * WX, axis=0))
-    return val, {"log_amp": g_amp, "log_scale": g_scale}
+    mask = _row_mask(X.shape[0], count, X.dtype)
+    val, grad, _ = _nlml_core(params, X, Y, yerr, mask=mask, count=count)
+    return val, grad
 
 
 def condition(gp: PaddedGP) -> PaddedGP:
@@ -227,23 +191,30 @@ def active_learning_loop(gp: PaddedGP, Xtest, acquire_fn, tol,
     cap = gp.X.shape[0]
 
     def body(carry, i):
-        gp = carry
+        gp, n_acq = carry
         mean, var = predict(gp, Xtest)
         need = (jnp.max(var) >= tol) & (gp.count < cap)
 
-        def do_acquire(gp):
+        def do_acquire(carry):
+            gp, n_acq = carry
             imax = jnp.argmax(var)
             x_new = Xtest[imax]
             y_new = acquire_fn(x_new)
             gp = append(gp, x_new, y_new)
-            do_refit = (i % refit_every) == 0
-            return lax.cond(do_refit,
-                            lambda g: refit(g, steps=refit_steps),
-                            lambda g: g, gp)
+            n_acq = n_acq + 1
+            # cadence counts ACQUISITIONS (iterations where the trust
+            # check passes acquire nothing and must not consume a slot
+            # of the refit schedule)
+            do_refit = (n_acq % refit_every) == 0
+            gp = lax.cond(do_refit,
+                          lambda g: refit(g, steps=refit_steps),
+                          lambda g: g, gp)
+            return gp, n_acq
 
-        gp = lax.cond(need, do_acquire, lambda g: g, gp)
-        return gp, jnp.max(var)
+        gp, n_acq = lax.cond(need, do_acquire, lambda c: c, (gp, n_acq))
+        return (gp, n_acq), jnp.max(var)
 
-    gp, max_vars = lax.scan(body, gp, jnp.arange(max_steps))
+    (gp, _), max_vars = lax.scan(body, (gp, jnp.asarray(0, jnp.int32)),
+                                 jnp.arange(max_steps))
     mean, var = predict(gp, Xtest)
     return gp, mean, var

@@ -162,6 +162,81 @@ def nlml(params, X, Y, yerr):
 
 
 @jax.jit
+def _nlml_core(params, X, Y, yerr, mask=None, count=None):
+    """Shared closed-form NLML value/gradient kernel (optionally masked).
+
+    Implements the marginal-likelihood gradient (Rasmussen & Williams
+    eq. 5.9) for the scaled Matern-3/2,
+
+        dNLML/dtheta = 0.5 tr((m B^{-1} - alpha alpha^T) dK/dtheta),
+        dK/dlog_amp     = K,
+        dK/dlog_scale_j = 3 amp e^{-sqrt(3) r} D_j,
+
+    with the D_j contraction rearranged into row-sums plus one (n, d)
+    matmul so no per-dimension distance matrix is materialized, and all
+    work downstream of the single Cholesky running on the MXU via the
+    explicit inverse factor.
+
+    ``mask`` (0/1 per row) makes padded rows an identity block (their
+    kernel derivative is zero, so G is simply masked); ``count`` is the
+    active-row count entering the 2pi constant.  Used unmasked by
+    :func:`gp_refit` and masked by al_jit.masked_nlml_value_and_grad —
+    one implementation, two callers.
+
+    Returns (value, grad_dict, (L, Linv, alpha, yerr2)).
+    """
+    n = X.shape[0]
+    amp = jnp.exp(params["log_amp"])
+    inv_scale = jnp.exp(-params["log_scale"])
+    Xs = X * inv_scale
+    sq = jnp.sum(Xs * Xs, axis=1)
+    r2 = (sq[:, None] + sq[None, :]
+          - 2. * jnp.dot(Xs, Xs.T, precision=_HI))
+    r = jnp.sqrt(jnp.maximum(0.5 * (r2 + r2.T), 0.) + 1e-14)
+    arg = jnp.sqrt(3.) * r
+    E = jnp.exp(-arg)
+    i = jnp.arange(n)
+    K = (amp * (1. + arg) * E).at[i, i].set(amp)   # pure kernel, diag = amp
+
+    yerr2 = jnp.asarray(yerr) ** 2
+    eye = jnp.eye(n, dtype=K.dtype)
+    if mask is None:
+        active = None
+        B = K + yerr2 * eye
+        n_active = n
+    else:
+        active = mask[:, None] * mask[None, :]
+        B = ((K + yerr2 * eye) * active
+             + eye * ((1. - mask)[None, :] * (1. - mask)[:, None]))
+        n_active = count
+
+    L = jnp.linalg.cholesky(B)
+    Linv = _invert_cholesky(L)
+    alpha, a = _weights_from_inv(Linv, Y)
+
+    Y2 = Y if Y.ndim == 2 else Y[:, None]
+    m = Y2.shape[1]
+    val = (0.5 * jnp.sum(a * a)
+           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
+           + 0.5 * m * n_active * jnp.log(2. * jnp.pi))
+
+    alpha2 = alpha if alpha.ndim == 2 else alpha[:, None]
+    Binv = jnp.dot(Linv.T, Linv, precision=_HI)
+    G = m * Binv - jnp.dot(alpha2, alpha2.T, precision=_HI)
+    if active is not None:
+        G = G * active
+
+    g_amp = 0.5 * jnp.sum(G * K)
+    W = (1.5 * amp) * E * G                 # 0.5 * G * (3 amp E), symmetric
+    rowsum = jnp.sum(W, axis=1)
+    WX = jnp.dot(W, Xs, precision=_HI)
+    g_scale = 2. * (jnp.sum(rowsum[:, None] * Xs * Xs, axis=0)
+                    - jnp.sum(Xs * WX, axis=0))
+    grad = {"log_amp": g_amp, "log_scale": g_scale}
+    return val, grad, (L, Linv, alpha, yerr2)
+
+
+@jax.jit
 def gp_refit(params, X, Y, yerr):
     """One full GP refit: loss value, hyperparameter gradient, and the
     prediction cache, from a single shared Cholesky factorization.
@@ -188,41 +263,8 @@ def gp_refit(params, X, Y, yerr):
     This is the on-device unit of work of a jitted training/active-learning
     loop; chained under lax.scan it amortizes dispatch latency away.
     """
-    n = X.shape[0]
-    amp = jnp.exp(params["log_amp"])
-    inv_scale = jnp.exp(-params["log_scale"])
-    Xs = X * inv_scale
-    sq = jnp.sum(Xs * Xs, axis=1)
-    r2 = (sq[:, None] + sq[None, :]
-          - 2. * jnp.dot(Xs, Xs.T, precision=_HI))
-    r = jnp.sqrt(jnp.maximum(0.5 * (r2 + r2.T), 0.) + 1e-14)
-    arg = jnp.sqrt(3.) * r
-    E = jnp.exp(-arg)
-    i = jnp.arange(n)
-    K = (amp * (1. + arg) * E).at[i, i].set(amp)
-
-    yerr2 = jnp.asarray(yerr) ** 2
-    L = jnp.linalg.cholesky(K + yerr2 * jnp.eye(n, dtype=K.dtype))
-    Linv = _invert_cholesky(L)
-    alpha, a = _weights_from_inv(Linv, Y)
-
-    Y2 = Y if Y.ndim == 2 else Y[:, None]
-    m = Y2.shape[1]
-    val = (0.5 * jnp.sum(a * a)
-           + m * jnp.sum(jnp.log(jnp.diagonal(L)))
-           + 0.5 * m * n * jnp.log(2. * jnp.pi))
-
-    alpha2 = alpha if alpha.ndim == 2 else alpha[:, None]
-    Binv = jnp.dot(Linv.T, Linv, precision=_HI)
-    G = m * Binv - jnp.dot(alpha2, alpha2.T, precision=_HI)
-
-    g_amp = 0.5 * jnp.sum(G * K)
-    W = (1.5 * amp) * E * G                 # 0.5 * G * (3 amp E), symmetric
-    rowsum = jnp.sum(W, axis=1)
-    WX = jnp.dot(W, Xs, precision=_HI)
-    g_scale = 2. * (jnp.sum(rowsum[:, None] * Xs * Xs, axis=0)
-                    - jnp.sum(Xs * WX, axis=0))
-    grad = {"log_amp": g_amp, "log_scale": g_scale}
+    val, grad, (_, Linv, alpha, yerr2) = _nlml_core(params, X, Y,
+                                                    yerr)
     return val, grad, (Linv, alpha, yerr2)
 
 
@@ -494,11 +536,9 @@ class GaussianProcessSurrogate:
 
     def _ensure_conditioned(self):
         if self.cond_gp is None:
-            Y = self.Ytrain
-            Ymat = Y if Y.ndim == 2 else Y
             self._X_at_fit = self.Xtrain
             self.cond_gp = gp_condition(self.params, self._X_at_fit,
-                                        Ymat, self.Yerr)
+                                        self.Ytrain, self.Yerr)
 
     def _infer_mean(self):
         self._ensure_conditioned()
@@ -537,7 +577,9 @@ class GaussianProcessSurrogate:
         subset of cells (None = all cells, reference behavior).
         """
         k = getattr(self, "al_candidates", 0)
-        n = self._Xtest.shape[0]
+        # cell count from the field shape — touching _Xtest here would
+        # rebuild and upload the full feature matrix once per pass
+        n = int(np.prod(np.asarray(self.solution).shape[-2:]))
         if not k or k >= n:
             return None
         stride = max(1, n // k)
@@ -578,7 +620,13 @@ class GaussianProcessSurrogate:
         if idx is not None and predictor:
             # subset acquisition: full variance only when output wants it
             m, _ = self._infer(compute_var=compute_var and predictor)
-            v = self._infer_subset_var(idx)
+            if compute_var:
+                # the full-grid variance already contains the subset —
+                # slice it instead of a second (n_train x n_sub) solve
+                v = jnp.asarray(self._predictive_var).reshape(-1)[idx]
+                self.maximum_variance = jnp.max(v)
+            else:
+                v = self._infer_subset_var(idx)
         else:
             m, v = self._infer(compute_var=(
                 (compute_var or self.use_active_learning) and predictor))

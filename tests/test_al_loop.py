@@ -97,8 +97,11 @@ def test_device_loop_acquires_through_io_callback(tmp_path):
     assert p.database.size == size0 + n_acq
     assert p.step == 2
     assert np.all(np.isfinite(p.q))
-    # surrogates were synced back: they know the grown training set
-    assert p.pressure.last_fit_train_size == size0 + n_acq
+    # surrogates were synced back WITHOUT marking the fit current:
+    # acquisitions re-normalized the database scales, so the device-
+    # learned hyperparameters live in the frozen normalization and the
+    # next host predictor pass must retrain under the current scales
+    assert p.pressure.last_fit_train_size == size0
 
     # the host path can continue seamlessly from the synced state
     p.update()
