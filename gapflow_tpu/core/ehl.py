@@ -69,22 +69,38 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
 
     if use_pallas:
         dtype = dtype or jnp.float32
+        # f32 production needs Kahan-compensated accumulation CARRIED
+        # across chunks (per-step increments near the EHL steady state
+        # fall below one ulp of q and a plain carry freezes; a per-chunk
+        # compensation term restarting at zero would re-freeze) — see
+        # examples/validate_f32_production.py
+        comp = dtype == jnp.float32
         if K > 1:
-            inner_loop = make_pallas_loop(cfg, nx, ny, dtype=dtype)
+            inner_loop = make_pallas_loop(cfg, nx, ny, dtype=dtype,
+                                          compensated=comp, with_lo=comp)
 
-            def fluid_chunk(q, topo, extra_, dt, i):
-                return inner_loop(q, topo, extra_, dt, K)
+            if comp:
+                def fluid_chunk(carry, topo, extra_, dt, i):
+                    q, lo = carry
+                    return inner_loop(q, topo, extra_, dt, K, lo)
+            else:
+                def fluid_chunk(carry, topo, extra_, dt, i):
+                    q, lo = carry
+                    return inner_loop(q, topo, extra_, dt, K), lo
         else:
             _step = make_pallas_step(cfg, nx, ny, dtype=dtype)
 
-            def fluid_chunk(q, topo, extra_, dt, i):
-                return _step(q, topo, extra_, dt, i)
+            def fluid_chunk(carry, topo, extra_, dt, i):
+                q, lo = carry
+                return _step(q, topo, extra_, dt, i), lo
     else:
         dtype = dtype or jnp.asarray(problem.q).dtype
         det = make_det_step(cfg, with_aux=False)
 
-        def fluid_chunk(q, topo, extra_, dt, i):
+        def fluid_chunk(carry, topo, extra_, dt, i):
             from .state import SimState
+
+            q, lo = carry
 
             def one(k, qq):
                 state = SimState(
@@ -97,7 +113,7 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
                     valid=jnp.asarray(True))
                 return det(state).q
 
-            return jax.lax.fori_loop(0, K, one, q)
+            return jax.lax.fori_loop(0, K, one, q), lo
 
     h_und = h_und.astype(dtype)
     extra_d = extra.astype(dtype)
@@ -110,20 +126,23 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
         dt = jnp.asarray(dt, dtype)
 
         def body(i, carry):
-            q, u = carry
+            q, lo, u = carry
             topo = _topo_from_deformation(
                 h_und + 0., u - (u[0, 0] if shift_reference else 0.),
                 cfg.dx, cfg.dy)
             # note: h uses the reference-shifted deformation like the host
-            q = fluid_chunk(q, topo.astype(dtype), extra_d, dt, i * K)
+            q, lo = fluid_chunk((q, lo), topo.astype(dtype), extra_d, dt,
+                                i * K)
 
             p = eos_pressure(q[0], prop)
             if shift_reference:
                 p = p - p[0, 0]
             u_new = hs_deform(p.astype(u.dtype))
             u = (1. - alpha_K) * u + alpha_K * u_new
-            return q, u
+            return q, lo, u
 
-        return jax.lax.fori_loop(0, n_steps // K, body, (q, u_prev))
+        lo0 = jnp.zeros_like(q[:, 1:-1, 1:-1])
+        q, _, u = jax.lax.fori_loop(0, n_steps // K, body, (q, lo0, u_prev))
+        return q, u
 
     return loop

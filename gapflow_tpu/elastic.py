@@ -113,6 +113,11 @@ class ElasticDeformation:
 
     def __init__(self, E, v, alpha_underrelax, grid, n_images):
         self.area_per_cell = grid["dx"] * grid["dy"]
+        # ghost-INCLUSIVE grid points with INTERIOR physical sizes — the
+        # reference's own convention (GaPFlow/topography.py:357: Nx+2
+        # points, physical_sizes=(Lx, Ly)), reproduced verbatim for
+        # parity: the elastic kernel cell size is Lx/(Nx+2), slightly
+        # smaller than the solver's dx = Lx/Nx, exactly as upstream
         nx, ny = grid["Nx"] + 2, grid["Ny"] + 2
         self.alpha_underrelax = alpha_underrelax
         self.u_prev = jnp.zeros((nx, ny))

@@ -1163,7 +1163,7 @@ def _statics_ghosted(topo, extra):
 
 @lru_cache(maxsize=16)
 def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
-                     compensated=False):
+                     compensated=False, with_lo=False):
     """n-step driver around the fused kernel with statics hoisted.
 
     ``loop(q, topo, extra, dt, n_steps) -> q`` on ghost-inclusive arrays:
@@ -1181,12 +1181,20 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     MacCormack steady state, and the corresponding per-step increments
     underflow plain f32 updates — see examples/validate_f32_production.py.
     Costs four elementwise adds per step outside the kernel.
+
+    ``with_lo=True`` (requires ``compensated``) exposes the Kahan carry
+    across calls: ``loop(q, topo, extra, dt, n_steps, q_lo) ->
+    (q, q_lo)`` with interior-shaped ``q_lo`` — for chunked drivers
+    (EHL) whose per-chunk state would otherwise restart the
+    compensation term at zero and re-freeze near steady state.
     """
+    if with_lo and not compensated:
+        raise ValueError("with_lo requires compensated=True")
     (call, extend, reassemble, fused, ext_step, call_ext, vmem_factory,
      hbm_factory) = _make_call(cfg, nx, ny, bs, dtype, compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
-    def loop(q, topo, extra, dt, n_steps):
+    def loop(q, topo, extra, dt, n_steps, q_lo=None):
         q = q.astype(dtype)
         dt = jnp.asarray(dt, dtype)[None]
 
@@ -1209,20 +1217,23 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
                 t = q_int + y
                 return t, y - (t - q_int)
 
+            lo0 = (jnp.zeros_like(q[:, 1:-1, 1:-1]) if q_lo is None
+                   else q_lo.astype(dtype))
             n_sweeps, n_rem = divmod(n_steps, _k_steps(cfg))
             if hbm_factory is not None and n_sweeps > 0:
                 # whole-run Kahan carry in one kernel; the remainder steps
                 # continue the (q, q_lo) carry through the per-step path
                 ext_q = extend(q)
-                carry6 = jnp.concatenate([ext_q, jnp.zeros_like(ext_q)], 0)
+                carry6 = jnp.concatenate([ext_q, _extend_interior(lo0)], 0)
                 carry6 = hbm_factory(n_sweeps)(carry6, *args, dt)
                 sl = slice(HALO_X, HALO_X + q.shape[1] - 2)
                 carry = (carry6[:3, sl, :], carry6[3:, sl, :])
             else:
                 n_rem = n_steps
-                q0 = q[:, 1:-1, 1:-1]
-                carry = (q0, jnp.zeros_like(q0))
-            q_int, _ = jax.lax.fori_loop(0, n_rem, body, carry)
+                carry = (q[:, 1:-1, 1:-1], lo0)
+            q_int, lo_out = jax.lax.fori_loop(0, n_rem, body, carry)
+            if with_lo:
+                return reassemble(q, q_int), lo_out
         elif vmem_factory is not None and n_steps > 1:
             # whole run in VMEM: one kernel, HBM touched exactly twice
             q_ext = vmem_factory(n_steps)(extend(q), *args, dt)

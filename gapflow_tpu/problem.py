@@ -374,7 +374,9 @@ class Problem:
     def _post_run(self):
         walltime = datetime.now() - self._tic
 
-        if (self.step % self.options["write_freq"] != 0
+        # final unwritten frame (chunked runs may have written at a
+        # non-multiple step already — track actual writes, not modulo)
+        if (getattr(self, "_last_written_step", None) != self.step
                 and not self.options["silent"]):
             self.write()
 
@@ -469,10 +471,7 @@ class Problem:
             self.q[...] = np.asarray(new_state.q)
             print("Invalid state (NaN or negative density) detected.", end=" ")
             # refresh output fields from the restored state
-            self.pressure.update(predictor=False, compute_var=True)
-            self.wall_stress_xz.update(predictor=False, compute_var=True)
-            self.wall_stress_yz.update(predictor=False, compute_var=True)
-            self.bulk_stress.update()
+            self._refresh_det_fields()
             print("Writing previous step and aborting simulation.")
             self._stop = True
 
@@ -588,9 +587,6 @@ class Problem:
         dt = self.dt
         q0 = self.q.copy()
 
-        one_step_before_output = \
-            (self.step + 1) % self.options["write_freq"] == 0
-
         for i, d in enumerate(directions):
             self.pressure.update(predictor=i == 0,
                                  compute_var=one_step_before_output)
@@ -643,10 +639,7 @@ class Problem:
             print("Negative density detected.", end=" ")
 
         self.q[...] = q0
-        self.pressure.update(predictor=False, compute_var=True)
-        self.wall_stress_xz.update(predictor=False, compute_var=True)
-        self.wall_stress_yz.update(predictor=False, compute_var=True)
-        self.bulk_stress.update()
+        self._refresh_det_fields()
 
         print("Writing previous step and aborting simulation.")
         self._stop = True
@@ -669,6 +662,10 @@ class Problem:
         """
         if self.has_gp_model:
             raise RuntimeError("run_steps requires a deterministic problem")
+        if self.topo.elastic:
+            raise RuntimeError("run_steps does not cover elastic problems "
+                               "(the fused step freezes the topography; "
+                               "use update()/run() or core.ehl)")
         if self.step is None:
             self._pre_run()
 
@@ -803,8 +800,10 @@ class Problem:
         def stats(q):
             ekin = jnp.sum((q[1] ** 2 + q[2] ** 2) / q[0] / 2.)
             ok = jnp.all(jnp.isfinite(q)) & (jnp.min(q[0]) > 0.)
-            v_max = jnp.sqrt(
-                jnp.max((q[1] ** 2 + q[2] ** 2) / q[0] ** 2))
+            # REFERENCE formula (problem.py:344-347 / core.step.v_max):
+            # sqrt(j^2/rho), NOT the physical velocity sqrt(j^2/rho^2) —
+            # the CFL criterion is defined with it throughout
+            v_max = jnp.sqrt(jnp.max((q[1] ** 2 + q[2] ** 2) / q[0]))
             c_max = jnp.max(eos_sound_velocity(q[0], cfg.prop))
             return ekin, ok, v_max, c_max
 
@@ -831,8 +830,11 @@ class Problem:
 
             self.step += n
             self.simtime += n * self.dt
+            # CFL from the CURRENT on-device state (self.cfl would read
+            # the stale host q, frozen since the loop started)
+            cfl_now = self.dt * (float(v_max) + float(c_max)) / dmin
             self.residual = (abs(ekin - ekin_old)
-                             / max(ekin_old, 1e-300) / self.cfl / n)
+                             / max(ekin_old, 1e-300) / cfl_now / n)
             self.residual_buffer.append(self.residual)
             ekin_old = ekin
             self.kinetic_energy_old = ekin
@@ -841,6 +843,7 @@ class Problem:
                 self.dt = float(0.9 * self.numerics["CFL"] * dmin
                                 / (float(v_max) + float(c_max)))
 
+            handle_signals(self._receive_signal)
             if self.converged and len(self.residual_buffer) == 5:
                 break
 
@@ -860,6 +863,10 @@ class Problem:
         if self.has_gp_model:
             raise RuntimeError("sharded stepping requires a deterministic "
                                "problem")
+        if self.topo.elastic:
+            raise RuntimeError("sharded stepping does not cover elastic "
+                               "problems (per-step global FFT deformation "
+                               "is not spatially decomposed)")
         if self.step is None:
             self._pre_run()
         if mesh is None:
@@ -884,10 +891,15 @@ class Problem:
         """
         if self.has_gp_model:
             raise RuntimeError("run_compiled requires a deterministic problem")
+        if self.topo.elastic:
+            raise RuntimeError("run_compiled does not cover elastic "
+                               "problems (the fused loop freezes the "
+                               "topography; use update()/run() or core.ehl)")
         if self.step is None:
             self._pre_run()
 
-        runner = make_run_loop(self._solver_cfg, self.tol, self.max_it)
+        runner = make_run_loop(self._solver_cfg, self.tol,
+                               max_steps or self.max_it)
         state = self._make_state()
         state = runner(state)
         state.q.block_until_ready()
@@ -907,11 +919,7 @@ class Problem:
              if np.isfinite(r)], 5)
         self.kinetic_energy_old = float(state.ekin_old)
 
-        # refresh diagnostic fields for output
-        self.pressure.update(predictor=False, compute_var=True)
-        self.wall_stress_xz.update(predictor=False, compute_var=True)
-        self.wall_stress_yz.update(predictor=False, compute_var=True)
-        self.bulk_stress.update()
+        self._refresh_det_fields()
         return state
 
     # ------------------------------------------------------------------
@@ -930,6 +938,7 @@ class Problem:
 
         if fields:
             self.file.append_frame().write()
+            self._last_written_step = self.step
 
         if params:
             self.pressure.write()
