@@ -184,7 +184,7 @@ def sanitize_grid(d):
 
 
 _GEOMETRY_PARAMS = {
-    # type -> list of (key, cast, required?) entries beyond the common ones
+    # type -> list of (key, cast) entries beyond the common ones
     "inclined": [("hmax", float), ("hmin", float)],
     "parabolic": [("hmin", float), ("hmax", float)],
     "cdc": [("hmin", float), ("hmax", float), ("b", float)],

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .integrate import predictor_corrector, source
-from .step import apply_bcs, effective_viscosity
+from .step import apply_bcs, effective_viscosity, mc_directions
 from ..models.gp import kernel_fn
 from ..models.viscous import stress_bottom, stress_top, stress_avg
 from ..models.eos import eos_pressure
@@ -114,7 +114,7 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp):
             return one_pass(q, topo, extra, dt, d1, gp_state)
 
         if cfg.MC_order != 0:
-            d0, d1 = [(-1, 1), (1, -1)][(cfg.MC_order + 1) // 2]
+            d0, d1 = mc_directions(cfg.MC_order)
             q, p_last = passes(q, d0, d1)
         else:
             q, p_last = lax.cond(step_idx % 2 == 0,

@@ -59,10 +59,17 @@ class SolverConfig:
         eos = tuple((k, prop[k]) for k in ["EOS"] + [k for k in eos_keys if k != "EOS"])
         piezo = tuple(prop["piezo"].items()) if "piezo" in prop else None
         thinning = tuple(prop["thinning"].items()) if "thinning" in prop else None
+        # Dirichlet VALUES come from the OPPOSITE edge: the reference's
+        # ghost fill (problem.py:676-768) writes the low-x ghost with the
+        # xE masks but computes it from bc_xW_D_val (and vice versa; same
+        # for y) — i.e. xE_D lands on the HIGH-x boundary.  Masks must
+        # match on opposite edges for the reference to work at all, so
+        # swapping only the value reproduces its net semantics exactly.
+        _opposite = {"xE": "xW", "xW": "xE", "yS": "yN", "yN": "yS"}
         bc = []
         for edge in ("xE", "xW", "yS", "yN"):
             entry = {kind: tuple(grid[f"bc_{edge}_{kind}"]) for kind in "PDN"}
-            entry["val"] = grid.get(f"bc_{edge}_D_val", 0.0)
+            entry["val"] = grid.get(f"bc_{_opposite[edge]}_D_val", 0.0)
             bc.append(tuple(sorted(entry.items())))
         return SolverConfig(
             dx=grid["dx"], dy=grid["dy"], U=geo["U"], V=geo["V"],
@@ -96,9 +103,9 @@ def _edge_fill(q, cfg, edge_idx, axis, side):
     """Fill one ghost edge of ``q`` according to its P/D/N component masks.
 
     The reference pairs each edge's assignment mask with the *opposite*
-    edge's Dirichlet value and adjacent cell (problem.py:676-768); since it
-    requires matching masks on opposite edges to work at all, we read mask
-    and value from the same edge, which is equivalent for every valid input.
+    edge's Dirichlet value (problem.py:676-768) — xE_D is the HIGH-x
+    boundary target.  SolverConfig.from_dicts pre-swaps the values between
+    opposite edges, so here mask and value are read from the same entry.
 
     Ghost formula (one ghost cell, midpoint weight a1 = 0.5):
       Dirichlet: Q = 2*q_target - q_adjacent
@@ -138,6 +145,16 @@ def apply_bcs(q, cfg):
     q = _edge_fill(q, cfg, 2, axis=2, side="lo")   # bottom edge, yS spec
     q = _edge_fill(q, cfg, 3, axis=2, side="hi")   # top edge, yN spec
     return q
+
+
+def mc_directions(mc_order):
+    """Static MacCormack pass order (d0, d1) for mc_order in (-1, +1).
+
+    mc_order == 0 alternates by step parity: even steps run
+    mc_directions(+1), odd steps mc_directions(-1) — reference
+    problem.py:521-522.  One shared definition for the XLA, GP, Pallas,
+    sharded and host paths."""
+    return [(-1, 1), (1, -1)][(mc_order + 1) // 2]
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +258,7 @@ def make_det_step(cfg, with_aux=True):
         topo, extra, dt = state.topo, state.extra, state.dt
 
         if cfg.MC_order != 0:
-            d0, d1 = [(-1, 1), (1, -1)][(cfg.MC_order + 1) // 2]
+            d0, d1 = mc_directions(cfg.MC_order)
             q, aux = two_passes(q0, topo, extra, dt, d0, d1)
         else:
             q, aux = lax.cond(
@@ -262,7 +279,9 @@ def make_det_step(cfg, with_aux=True):
             c_max = eos_sound_velocity(q[0], prop).max()
             dt_crit = jnp.minimum(cfg.dx, cfg.dy) / (v_max(q) + c_max)
             cfl = dt / dt_crit
-            residual = jnp.abs(ekin - state.ekin_old) / state.ekin_old / cfl
+            # zero-guard: static/squeeze setups (U=V=0) start at ekin=0
+            residual = (jnp.abs(ekin - state.ekin_old)
+                        / jnp.maximum(state.ekin_old, 1e-300) / cfl)
             new_dt = cfg.CFL * dt_crit if cfg.adaptive else dt
             return state._replace(
                 q=q,

@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.integrate import hyperbolicFlux, diffusiveFlux, source
-from ..core.step import det_closures
+from ..core.step import det_closures, mc_directions
 from ..models.eos import eos_pressure
 from ..models.viscosity import piezoviscosity
 from ..models.closures_opt import (fused_pass_top_pre, precompute_statics,
@@ -924,7 +924,7 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         "strip size must divide nx and align to 8"
     grid = (nx // bs,)
     rows = bs + 2 * HALO_X
-    d0, d1 = [(-1, 1), (1, -1)][(cfg.MC_order + 1) // 2]
+    d0, d1 = mc_directions(cfg.MC_order)
     fused = True   # every supported config runs the factored fused closures
     periodic = _fully_periodic(cfg)
 

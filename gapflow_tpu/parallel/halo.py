@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.integrate import hyperbolicFlux, diffusiveFlux, source
-from ..core.step import det_closures
+from ..core.step import det_closures, mc_directions
 
 
 def grid_mesh(devices=None, shape=None, axis_names=("x", "y")):
@@ -161,7 +161,7 @@ def make_sharded_det_step(cfg, mesh):
 
         q0 = q
         if cfg.MC_order != 0:
-            d0, d1 = [(-1, 1), (1, -1)][(cfg.MC_order + 1) // 2]
+            d0, d1 = mc_directions(cfg.MC_order)
             q = passes(q, d0, d1)
         else:
             q = lax.cond(step % 2 == 0,

@@ -28,7 +28,8 @@ from .config import (read_yaml_input, read_yaml_string, write_yaml,
                      create_output_directory, history_to_csv)
 from .core.state import SimState
 from .core.step import (SolverConfig, make_det_step, make_pass_fn,
-                        make_run_loop, make_trajectory, apply_bcs)
+                        make_run_loop, make_trajectory, apply_bcs,
+                        mc_directions)
 
 from .db import Database
 from .fields import FieldCollection
@@ -582,7 +583,7 @@ class Problem:
             switch = (self.step % 2 == 0) * 2 - 1
         else:
             switch = self.numerics["MC_order"]
-        directions = [[-1, 1], [1, -1]][(switch + 1) // 2]
+        directions = mc_directions(switch)
 
         dt = self.dt
         q0 = self.q.copy()
