@@ -20,6 +20,14 @@ import yaml
 from .utils import make_dumpable
 
 
+def _paths(path):
+    """(npz_path, yml_path) from either the base path or the .npz file."""
+    base = str(path)
+    if base.endswith(".npz"):
+        base = base[:-4]
+    return base + ".npz", base + ".yml"
+
+
 _SCALARS = ("step", "simtime", "dt", "residual", "kinetic_energy_old",
             "tol", "max_it")
 
@@ -45,7 +53,8 @@ def save_checkpoint(problem, path):
         arrays["db_Ytrain"] = np.asarray(db._Ytrain)
         arrays["db_Yerr"] = np.asarray(db._Ytrain_err)
 
-    np.savez_compressed(path, **arrays)
+    npz_path, yml_path = _paths(path)
+    np.savez_compressed(npz_path, **arrays)
 
     config = {
         "options": problem.options,
@@ -60,7 +69,7 @@ def save_checkpoint(problem, path):
         # mock runs rebuild the Mock oracle from properties/geometry
         config["md"] = None if problem.database.has_mock_md \
             else problem.database._md.params
-    with open(str(path) + ".yml", "w") as fh:
+    with open(yml_path, "w") as fh:
         yaml.safe_dump(make_dumpable(config), fh)
 
 
@@ -73,7 +82,8 @@ def load_checkpoint(path, problem_cls=None):
     if problem_cls is None:
         from .problem import Problem as problem_cls
 
-    with open(str(path) + ".yml") as fh:
+    npz_path, yml_path = _paths(path)
+    with open(yml_path) as fh:
         config = yaml.safe_load(fh)
 
     # silence output on restore: the caller decides where new output goes
@@ -98,13 +108,34 @@ def load_checkpoint(path, problem_cls=None):
         problem = problem_cls(options, config["grid"], config["numerics"],
                               config["properties"], config["geometry"])
 
-    data = np.load(str(path) if str(path).endswith(".npz")
-                   else str(path) + ".npz")
+    data = np.load(npz_path)
 
     problem.q[...] = data["q"]
     problem.topo.full[...] = data["topo"]
     problem.fc.get_real_field("extra").p[...] = data["extra"]
     problem.fc.get_real_field("pressure").p[...] = data["pressure"]
+
+    if problem.topo.elastic:
+        # exact elastic resume: h = h_undeformed + u, with u in topo
+        # channel 3; the under-relaxation state continues from the saved
+        # deformation (a fresh Topography would restart it from zero —
+        # and asperity geometries would re-draw random heights)
+        import jax.numpy as jnp
+        problem.topo.h_undeformed = np.asarray(data["topo"][0]
+                                               - data["topo"][3])
+        problem.topo.ElasticDeformation.u_prev = jnp.asarray(data["topo"][3])
+
+    if problem.has_gp_model and "db_Xtrain" in data:
+        # authoritative training set: the dtool datasets may have been
+        # moved/cleaned since the checkpoint; restore the exact arrays
+        import jax.numpy as jnp
+        db = problem.database
+        if len(data["db_Xtrain"]) > db.size:
+            db._Xtrain = jnp.asarray(data["db_Xtrain"])
+            db._Ytrain = jnp.asarray(data["db_Ytrain"])
+            db._Ytrain_err = jnp.asarray(data["db_Yerr"])
+            db._X_scale = db._normalizer(db._Xtrain)
+            db._Y_scale = db._normalizer(db._Ytrain)
 
     from collections import deque
     problem.step = int(data["step"])
@@ -116,4 +147,12 @@ def load_checkpoint(path, problem_cls=None):
     problem.max_it = int(data["max_it"])
     problem.residual_buffer = deque(
         [float(r) for r in data["residual_buffer"]], 5)
+
+    if problem.has_gp_model:
+        # re-fit the surrogates on the restored training set (run() skips
+        # _pre_run since step is set, so init must happen here)
+        for m in (problem.pressure, problem.wall_stress_xz,
+                  problem.wall_stress_yz):
+            if m.is_gp_model:
+                m.init()
     return problem

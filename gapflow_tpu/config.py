@@ -220,6 +220,8 @@ def sanitize_geometry(d):
             out[key] = cast(d.get(key))
         if gtype == "asperity":
             out["num"] = int(d.get("num", 1))
+            if d.get("seed") is not None:
+                out["seed"] = int(d["seed"])
 
     print_dict(out)
     return out

@@ -13,7 +13,7 @@ used by the source term.
 """
 
 import numpy as np
-import jax
+
 import jax.numpy as jnp
 from jax import vmap, grad
 

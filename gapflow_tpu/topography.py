@@ -81,10 +81,14 @@ def asperity(xx, yy, grid, geo):
     if num == 1:
         hmins = np.array([h0])
     else:
-        # Gaussian with 99% mass between hmin and hmax
+        # Gaussian with 99% mass between hmin and hmax; optional seed is
+        # our extension (the reference draws unseeded) for reproducible
+        # rough surfaces and checkpoint/resume
         std = (h1 - h0) / 2. / 2.57
-        hmins = np.random.normal(loc=h0 + (h1 - h0) / 2., scale=std,
-                                 size=num ** 2)
+        rng = (np.random.default_rng(geo["seed"])
+               if geo.get("seed") is not None else np.random)
+        hmins = rng.normal(loc=h0 + (h1 - h0) / 2., scale=std,
+                           size=num ** 2)
 
     xid = (xx // (Lx / num)).astype(int)
     yid = (yy // (Ly / num)).astype(int)
@@ -148,6 +152,11 @@ class Topography:
 
         ix, iy = 1, 2
         if geo["flip"]:
+            if grid["Nx"] != grid["Ny"]:
+                raise ValueError(
+                    "flip=True requires a square grid (Nx == Ny): the "
+                    "transposed profile must fit the same field shape "
+                    "(the reference crashes with a broadcast error here)")
             h, dh_dx, dh_dy = h.T, dh_dx.T, dh_dy.T
             ix, iy = 2, 1
 

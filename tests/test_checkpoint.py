@@ -127,9 +127,53 @@ db:
     assert p2.step == p1.step
     np.testing.assert_array_equal(p2.q, p1.q)
 
-    # restored problem can continue stepping after re-initializing the GPs
-    p2.pressure.init()
-    p2.wall_stress_xz.init()
-    p2.wall_stress_yz.init()
+    # restored problem continues stepping directly (load_checkpoint
+    # re-initializes the GP surrogates itself)
     p2.update()
     assert p2.step == p1.step + 1
+
+
+def test_checkpoint_npz_path_accepted(tmp_path):
+    """from_checkpoint accepts the actual on-disk .npz filename."""
+    import os
+    from gapflow_tpu import Problem
+
+    p1 = Problem.from_string(sim)
+    p1._pre_run()
+    ckpt = os.path.join(tmp_path, "state")
+    p1.save_checkpoint(ckpt)
+    p2 = Problem.from_checkpoint(ckpt + ".npz")
+    np.testing.assert_array_equal(p2.q, p1.q)
+
+
+def test_checkpoint_elastic_resume_exact(tmp_path):
+    """Elastic resume continues the under-relaxation state exactly."""
+    import os
+    from gapflow_tpu import Problem
+
+    sim2 = sim.replace("""properties:""", """properties:
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-03""")
+    p1 = Problem.from_string(sim2)
+    p1._pre_run()
+    for _ in range(3):
+        p1.update()
+
+    ckpt = os.path.join(tmp_path, "el")
+    p1.save_checkpoint(ckpt)
+    p2 = Problem.from_checkpoint(ckpt)
+
+    np.testing.assert_allclose(
+        np.asarray(p2.topo.ElasticDeformation.u_prev),
+        np.asarray(p1.topo.ElasticDeformation.u_prev))
+    np.testing.assert_allclose(np.asarray(p2.topo.h_undeformed),
+                               np.asarray(p1.topo.h_undeformed))
+
+    p1.update()
+    p2.update()
+    np.testing.assert_allclose(p2.q, p1.q)
+    np.testing.assert_allclose(
+        np.asarray(p2.topo.ElasticDeformation.u_prev),
+        np.asarray(p1.topo.ElasticDeformation.u_prev))
