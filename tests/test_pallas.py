@@ -638,3 +638,41 @@ def test_pallas_thinning_hbm_loop_matches_per_step():
         stencil._make_call.cache_clear()
 
     assert scaled_err(out, ref) < 1e-5
+
+
+def test_pallas_bc_asymmetric_dirichlet_matches_xla():
+    """Asymmetric xE_D/xW_D targets through the ghost-explicit kernel
+    equal the XLA step (the Dirichlet value swap of SolverConfig —
+    xE_D is the HIGH-x boundary — must reach the in-kernel refills)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_bc = sim.replace(
+        """    Nx: 32
+    Ny: 128""",
+        """    Nx: 32
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 900.
+    xW_D: 850.""")
+
+    problem = Problem.from_string(sim_bc)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    assert pallas_supported(cfg, problem.grid["Ny"])
+
+    state = as_f32(perturbed(problem, amp=1e-3))
+    det = make_det_step(cfg, with_aux=False)
+    ref = np.asarray(det(state).q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+        step = make_pallas_step(cfg, 32, 128, bs=16)
+        out = np.asarray(step(state.q, state.topo, state.extra,
+                              state.dt, 0))
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+
+    assert scaled_err(out, ref) < 1e-5
