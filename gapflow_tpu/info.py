@@ -37,7 +37,7 @@ def show_info():
         print("native engine unavailable:", exc)
 
     from .md.runner import PARALLEL
-    print("mpi4py:", PARALLEL)
+    print("Thread-parallel MD:", PARALLEL)
 
 
 def main():

@@ -1,44 +1,29 @@
-"""Process layer for MD engine runs: serial in-process or MPI-spawned workers.
+"""Process layer for MD engine runs.
 
-Parity: reference GaPFlow/md/runner.py:30-79 (same PARALLEL capability flag
-and spawn/barrier protocol, targeting the bundled native engine instead of
-LAMMPS; falls back to one subprocess per worker when mpi4py is absent).
+Parity: reference GaPFlow/md/runner.py:30-79.  The reference spawns
+``nworker`` MPI ranks that form ONE LAMMPS world (domain decomposition).
+The bundled native engine parallelizes a single simulation with OpenMP
+threads instead, so ``run_parallel`` here means "one simulation, nworker
+threads" — never N duplicate runs racing on the same output files.
 """
 
-import os
 import subprocess
 import sys
-import warnings
 
+#: Capability flag: the native engine supports intra-run parallelism
+#: (OpenMP threads).  The reference's flag means "mpi4py importable".
 PARALLEL = True
-
-try:
-    from mpi4py import MPI
-except ImportError:
-    PARALLEL = False
-
-
-def main():
-    """Worker entry point for MPI-spawned parallel runs."""
-    comm = MPI.Comm.Get_parent()
-    run_serial(sys.argv[1])
-    comm.Barrier()
-    comm.Free()
 
 
 def run_parallel(fname, nworker):
-    """Run the engine on ``nworker`` processes (MPI spawn, like the reference)."""
-    if PARALLEL:
-        worker_file = os.path.abspath(__file__)
-        sub_comm = MPI.COMM_SELF.Spawn(sys.executable,
-                                       args=[worker_file, fname],
-                                       maxprocs=nworker)
-        sub_comm.Barrier()
-        sub_comm.Free()
-    else:
-        warnings.warn("mpi4py not available; running MD with "
-                      "thread-parallel native engine instead.")
-        run_serial(fname, nthreads=nworker)
+    """Run ONE simulation on ``nworker`` OpenMP threads.
+
+    Reference analogue: GaPFlow/md/runner.py:50-65 spawns an MPI world of
+    ``nworker`` ranks cooperating on one simulation.  The native engine's
+    cooperative axis is threads, so this delegates to :func:`run_serial`
+    with ``nthreads=nworker`` — exactly one set of output files is written.
+    """
+    run_serial(fname, nthreads=max(int(nworker), 1))
 
 
 def run_serial(fname, nthreads=1):
@@ -57,7 +42,3 @@ def run_subprocess(fname, nworker=1):
     code = ("from gapflow_tpu.md.runner import run_serial; "
             f"run_serial({fname!r}, nthreads={nworker})")
     subprocess.run([sys.executable, "-c", code], check=True)
-
-
-if __name__ == "__main__":
-    main()

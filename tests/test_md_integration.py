@@ -69,3 +69,44 @@ def test_database_with_native_md(tmp_path):
     db2 = Database(md, db_config, num_extra_features=1)
     assert db2.size == 2
     np.testing.assert_allclose(np.asarray(db2._Ytrain), Y)
+
+
+def test_parallel_run_single_output(tmp_path):
+    """ncpu=2 runs ONE simulation (OpenMP threads), not N racing copies.
+
+    Guards the reference-divergence fixed in md/runner.py: the reference's
+    run_parallel forms one MPI world; a naive port spawned N full duplicate
+    runs writing concurrently to the same stress_wall.dat.
+    """
+    import glob
+
+    from gapflow_tpu.md import LennardJones
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    md = LennardJones({
+        "system": "lj",
+        "ncpu": 2,
+        "infile": os.path.join(repo, "examples", "lmp", "lj", "in.run"),
+        "wallfile": os.path.join(repo, "examples", "lmp", "lj", "wall.data"),
+        "tinit": 200, "ttherm": 200, "tsample": 400, "Nevery": 10,
+    })
+    md.dtool_basepath = str(tmp_path)
+    assert md.num_worker == 2
+
+    X = np.array([0.6, 0.03, 0.0, 8.0, 0.0, 0.0, 0.0])
+    Y, Ye = md.run(X, 1)
+    assert np.all(np.isfinite(Y)) and np.all(np.isfinite(Ye))
+
+    # exactly one dataset with exactly one stress_wall.dat
+    datasets = [p for p in os.scandir(tmp_path) if p.is_dir()]
+    assert len(datasets) == 1
+    walls = glob.glob(os.path.join(datasets[0].path, "data",
+                                   "**", "stress_wall.dat"), recursive=True)
+    assert len(walls) == 1
+
+    # the sampling stage wrote every expected row exactly once (no
+    # interleaved duplicate writers): monotone unique timesteps
+    rows = np.loadtxt(walls[0], comments="#")
+    steps = rows[:, 0]
+    assert steps.size == np.unique(steps).size
+    assert np.all(np.diff(steps) > 0)
