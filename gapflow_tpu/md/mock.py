@@ -20,13 +20,7 @@ class Mock(MolecularDynamics):
 
     name = "mock"
 
-    _ascii_art = r"""
-  __  __  ___   ____ _  __
- |  \/  |/ _ \ / ___| |/ /
- | |\/| | | | | |   | ' /
- | |  | | |_| | |___| . \
- |_|  |_|\___/ \____|_|\_\
-"""
+    _ascii_art = "\n  [ mock oracle -- analytic closures + seeded noise ]\n"
 
     def __init__(self, prop, geo, gp):
         self.is_mock = True
