@@ -202,8 +202,15 @@ def shard_problem_arrays(problem, mesh):
     px, py = mesh.shape["x"], mesh.shape["y"]
     spec = NamedSharding(mesh, P(None, "x", "y"))
 
-    q = jax.device_put(np.asarray(problem.q)[:, 1:-1, 1:-1], spec)
-    topo = jax.device_put(pad_blocks(problem.topo.full, px, py), spec)
-    extra = jax.device_put(
-        pad_blocks(problem.fc.get_real_field("extra").p, px, py), spec)
+    # make_array_from_callback (not device_put): works unchanged when the
+    # mesh spans multiple processes — each process materializes only its
+    # addressable shards from the (replicated) host array
+    def put(host_array):
+        host_array = np.asarray(host_array)
+        return jax.make_array_from_callback(
+            host_array.shape, spec, lambda idx: host_array[idx])
+
+    q = put(np.asarray(problem.q)[:, 1:-1, 1:-1])
+    topo = put(pad_blocks(problem.topo.full, px, py))
+    extra = put(pad_blocks(problem.fc.get_real_field("extra").p, px, py))
     return q, topo, extra

@@ -41,28 +41,39 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_initialized = False
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
-                     process_id=None):
+                     process_id=None, local_device_ids=None):
     """Initialize ``jax.distributed`` for a multi-host run.
 
     With no arguments, relies on the environment (Cloud TPU pods
     auto-discover the coordinator).  A no-op when already initialized or
     when the run is single-process with no coordinator configured.
+
+    Must be called BEFORE any other JAX API touches a backend — probing
+    ``jax.process_count()`` here would itself initialize the local-only
+    backend and make the later distributed bring-up a no-op, so the
+    already-initialized check is a module flag instead.
     """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None \
-            and "COORDINATOR_ADDRESS" not in os.environ \
-            and not os.environ.get("TPU_WORKER_HOSTNAMES"):
+    global _initialized
+    if _initialized:
+        return
+    explicit = coordinator_address is not None or num_processes is not None
+    # auto-detect only a real multi-host topology: a single-entry
+    # TPU_WORKER_HOSTNAMES is what single-host plugins advertise too
+    multihost_env = ("COORDINATOR_ADDRESS" in os.environ
+                     or "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""))
+    if not explicit and not multihost_env:
         return  # single-process run
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-    except RuntimeError:
-        pass  # initialize() raises if called twice
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+    _initialized = True
 
 
 def global_grid_mesh(shape=None, axis_names=("x", "y")):
@@ -84,7 +95,13 @@ def global_grid_mesh(shape=None, axis_names=("x", "y")):
         shape = (px, n // px)
     assert shape[0] * shape[1] == n, \
         f"mesh {shape} does not cover {n} devices"
-    devs = mesh_utils.create_device_mesh(shape)
+    try:
+        devs = mesh_utils.create_device_mesh(shape)
+    except (ValueError, NotImplementedError):
+        # non-TPU topologies (e.g. multi-process CPU): plain row-major
+        # order, keeping each process's devices contiguous so the host
+        # boundary cuts one mesh axis
+        devs = np.array(jax.devices()).reshape(shape)
     return Mesh(devs, axis_names)
 
 
@@ -109,4 +126,6 @@ def gather_global(arr):
     if jax.process_count() == 1:
         return np.asarray(arr)
     from jax.experimental import multihost_utils
-    return np.asarray(multihost_utils.process_allgather(arr))
+    # tiled: shards concatenate back into the global array (stacking is
+    # for per-process-local data, not sharded global arrays)
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
