@@ -23,7 +23,8 @@ tests/test_closures_opt.py to 1e-12.
 
 import jax.numpy as jnp
 
-__all__ = ["fused_pass_top_opt", "fused_pass_top_pre", "precompute_statics"]
+__all__ = ["fused_pass_top_opt", "fused_pass_top_pre", "precompute_statics",
+           "bulk_stress_pre"]
 
 
 def fused_pass_top_opt(q0, q1, q2, H, Hx, Hy, U, V, eta, zeta, Ls):
@@ -104,6 +105,36 @@ def precompute_statics(topo, extra):
         2. * (3. * Ls + H) * ic * ic,
         6. * Ls,
     ])
+
+
+def bulk_stress_pre(q0, q1, q2, st, U, V, eta, zeta):
+    """Only the gap-averaged stresses (tb_xx, tb_yy, tb_xy) of
+    :func:`fused_pass_top_pre` — same operations in the same order.
+
+    Used by the Pallas periodic-seam patch (ops.stencil), which re-evaluates
+    the bulk stress of single seam rows under the ghost (one-sided-gradient)
+    viscosity; only tb_* enters neighbors' flux differences, so the wall/
+    source terms are not needed.
+    """
+    Hx, Hy, H, Ls2, inv_h, ic, _k2s, _Ls6 = st
+
+    v1 = zeta + 4. / 3. * eta
+    v2 = zeta - 2. / 3. * eta
+
+    g = ic / q0
+
+    Ur = U * q0
+    Vr = V * q0
+    bx = Ls2 * (Ur - q1) + H * q1
+    by = Ls2 * (Vr - q2) + H * q2
+
+    gh = g * inv_h
+    hxbx = Hx * bx
+    hyby = Hy * by
+    tb_xx = (v1 * hxbx + v2 * hyby) * gh
+    tb_yy = (v2 * hxbx + v1 * hyby) * gh
+    tb_xy = eta * (Hy * bx + Hx * by) * gh
+    return tb_xx, tb_yy, tb_xy
 
 
 def fused_pass_top_pre(q0, q1, q2, st, U, V, eta, zeta):

@@ -40,12 +40,13 @@ the XLA fused step by tests/test_pallas.py.
 
 Scope: fully periodic boundaries (the production large-grid case: journal
 and asperity topographies) and per-edge uniform Dirichlet/Neumann edges,
-with any EOS, optional piezoviscosity, and — for non-periodic x edges —
-optional shear thinning (both per-cell eta in-kernel; thinning routes
-through the ghost-explicit layout, where np.gradient's one-sided
-stencils AT the ghost rows/cols — the reference semantics — sit at
-fixed local positions and are reproduced exactly, see _thinning_eta;
-periodic-x thinning keeps the XLA path, see pallas_supported).
+with any EOS, optional piezoviscosity, and optional shear thinning (both
+per-cell eta in-kernel).  Thinning routes through the ghost-explicit
+layout: np.gradient's one-sided stencils AT the ghost rows/cols — the
+reference semantics — sit at fixed local positions (_thinning_eta), and
+periodic x edges add the seam-crossing flux correction of _seam_patch
+(the ghost one-sided eta reaches interior cells only through the bulk
+stress consumed across the wrap).
 """
 
 from functools import lru_cache, partial
@@ -88,23 +89,18 @@ def pallas_supported(cfg, ny=128):
     specs that are per-edge uniformly periodic or non-periodic.
 
     Piezoviscosity is purely elementwise and runs in-kernel exactly.
-    Shear thinning runs in-kernel for NON-periodic x edges, through the
-    ghost-explicit layout: its shear rate comes from np.gradient of the
-    pressure over the ghost-INCLUSIVE array (reference semantics,
+    Shear thinning runs in-kernel through the ghost-explicit layout: its
+    shear rate comes from np.gradient of the pressure over the
+    ghost-INCLUSIVE array (reference semantics,
     core.step.effective_viscosity), whose one-sided stencils sit AT the
-    ghost rows/cols — fixed positions in that layout, reproduced exactly
-    by :func:`_thinning_eta`.  Periodic-x thinning keeps the XLA path:
-    the serial scheme re-wraps the x ghost rows from the remote seam
-    interior after every pass, while thinning's one-sided eta makes the
-    in-kernel wrap-halo evolution position-dependent — the strip-local
-    halo diverges from the remote interior it mirrors (y is immune: its
-    ghost cols are dedicated slots refilled from the in-strip interior).
+    ghost rows/cols.  Non-periodic x edges and the y ghost cols are fixed
+    positions in that layout, reproduced exactly by :func:`_thinning_eta`;
+    periodic x edges reduce to a seam-crossing flux correction at the two
+    wrap rows (:func:`_seam_patch`) — the serial rewrap's ghost values are
+    the wrap halo itself, and only the ghost's one-sided eta reaches
+    interior cells, through the bulk stress consumed across the seam.
     """
-    if cfg.MC_order == 0 or ny % 128 != 0 or not _edges_uniform(cfg):
-        return False
-    if cfg.thinning is not None and all(dict(cfg.bc[0])["P"]):
-        return False
-    return True
+    return (cfg.MC_order != 0 and ny % 128 == 0 and _edges_uniform(cfg))
 
 
 def _k_steps(cfg):
@@ -144,11 +140,19 @@ def _thinning_eta(cfg, p, mu0, st, thin):
     Note the one-sided x form only references the ghost and its adjacent
     interior row, so domain-edge strips keep consuming no halo.
 
-    thin = (bs, ny, is_first, is_last); bs/ny static, is_* traced bools.
+    Periodic x (``per_x``): there are no x ghost slots — the wrap halo IS
+    the serial ghost copy, and the centered rolls over it reproduce the
+    interior eta exactly (the serial central stencil at the seam reads the
+    rewrapped ghost, i.e. the remote interior value the halo holds).  The
+    serial ghosts' ONE-SIDED eta affects interior cells only through the
+    seam-crossing flux difference, handled by :func:`_seam_patch`.
+
+    thin = (bs, ny, is_first, is_last, per_x); bs/ny/per_x static,
+    is_* traced bools.
     """
     from ..models.viscosity import shear_rate_avg, shear_thinning_factor
 
-    bs, ny, is_first, is_last = thin
+    bs, ny, is_first, is_last, per_x = thin
     rows, W = p.shape
     rdx = 1. / cfg.dx
     rdy = 1. / cfg.dy
@@ -156,11 +160,12 @@ def _thinning_eta(cfg, p, mu0, st, thin):
     p_up = pltpu.roll(p, rows - 1, axis=0)   # p[i+1]
     p_dn = pltpu.roll(p, 1, axis=0)          # p[i-1]
     dpx = (p_up - p_dn) * (0.5 * rdx)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-    dpx = jnp.where(is_first & (ridx == HALO_X - 1),
-                    (p_up - p) * rdx, dpx)
-    dpx = jnp.where(is_last & (ridx == HALO_X + bs),
-                    (p - p_dn) * rdx, dpx)
+    if not per_x:
+        ridx = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        dpx = jnp.where(is_first & (ridx == HALO_X - 1),
+                        (p_up - p) * rdx, dpx)
+        dpx = jnp.where(is_last & (ridx == HALO_X + bs),
+                        (p - p_dn) * rdx, dpx)
 
     p_r = pltpu.roll(p, W - 1, axis=1)       # p[:, j+1] (wraps at seam)
     p_l = pltpu.roll(p, 1, axis=1)           # p[:, j-1]
@@ -174,6 +179,84 @@ def _thinning_eta(cfg, p, mu0, st, thin):
     return mu0 * shear_thinning_factor(rate, mu0, dict(cfg.thinning))
 
 
+def _seam_patch(cfg, us, p, mu0, st, comps, tb_c, d, dt, thin):
+    """Periodic-x seam correction for shear thinning (ghost one-sided eta).
+
+    The serial scheme keeps explicit x ghost rows: ghost = rewrapped copy
+    of the remote seam interior, but with ONE-SIDED np.gradient eta —
+    dpx_g = (p[int 0] - p[int nx-1]) / dx at BOTH ghosts.  In the wrap-halo
+    layout the ghost q/p/H values are automatic (the halo holds the remote
+    copy), so the only divergence from translation invariance is the bulk
+    stress consumed ACROSS the seam by the one-sided flux difference:
+    update[j] -= -d (F[j-d] - F[j]) / dx, so for d=+1 the row holding
+    int 0 consumes tb_* of int nx-1 evaluated at ghost eta (serial row 1
+    reading ghost row 0), and for d=-1 the row holding int nx-1 consumes
+    tb_* of int 0 at ghost eta (serial row nx reading ghost row nx+1).
+    Everything else (hyperbolic p/q, sources, interior eta) already
+    matches, so the patch adds dt * (-d)/dx * (tb_g - tb_central) of the
+    seam NEIGHBOR row to u1/u2 of the seam CONSUMER row.
+
+    Patched at both seam images (global int 0 / int nx-1 appear at local
+    rows H-1, H of the first strip and H+bs-1, H+bs of the last), keeping
+    the temporally-blocked halo evolution exact: the halo rows mirror the
+    remote interior only if they evolve under the same seam rule.
+    """
+    from ..models.viscosity import shear_rate_avg, shear_thinning_factor
+    from ..models.closures_opt import bulk_stress_pre
+
+    bs, ny, is_first, is_last, per_x = thin
+    if not per_x:
+        return us
+
+    u1, u2 = us
+    rdx = 1. / cfg.dx
+    rdy = 1. / cfg.dy
+    W = p.shape[1]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, u1.shape, 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    def row(arr, i):
+        return arr[i:i + 1, :]
+
+    for base, gate in ((HALO_X, is_first), (HALO_X + bs, is_last)):
+        # seam between local rows base-1 (int nx-1) and base (int 0)
+        r = base if d == 1 else base - 1          # consumer row
+        n = r - d                                  # neighbor (ghost image)
+
+        p_n = row(p, n)
+        dpx_g = (row(p, base) - row(p, base - 1)) * rdx
+        # central dpy on the neighbor row (ghost cols one-sided, unused
+        # by interior consumers; cheap to keep exact anyway)
+        p_r = pltpu.roll(p_n, W - 1, axis=1)
+        p_l = pltpu.roll(p_n, 1, axis=1)
+        dpy_g = (p_r - p_l) * (0.5 * rdy)
+        dpy_g = jnp.where(cidx == ny, (p_n - p_l) * rdy, dpy_g)
+        dpy_g = jnp.where(cidx == W - 1, (p_r - p_n) * rdy, dpy_g)
+
+        mu0_n = row(mu0, n) if hasattr(mu0, "shape") and mu0.ndim == 2 \
+            else mu0
+        st_n = tuple(row(s, n) for s in st)
+        H_n = st_n[2]
+        rate = shear_rate_avg(dpx_g, dpy_g, H_n, cfg.U, cfg.V, mu0_n)
+        eta_g = mu0_n * shear_thinning_factor(rate, mu0_n,
+                                              dict(cfg.thinning))
+
+        q0_n, q1_n, q2_n = (row(c, n) for c in comps)
+        tb_xx_g, _, tb_xy_g = bulk_stress_pre(q0_n, q1_n, q2_n, st_n,
+                                              cfg.U, cfg.V, eta_g, cfg.bulk)
+        # central-eta values the main pass actually used (sliced, not
+        # recomputed, so the replacement cancels exactly)
+        tb_xx_c = row(tb_c[0], n)
+        tb_xy_c = row(tb_c[2], n)
+
+        corr = dt * (-d) * rdx
+        mask = gate & (ridx == r)
+        u1 = jnp.where(mask, u1 + corr * (tb_xx_g - tb_xx_c), u1)
+        u2 = jnp.where(mask, u2 + corr * (tb_xy_g - tb_xy_c), u2)
+
+    return u1, u2
+
+
 def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False,
                     thin=None):
     """Newtonian/piezoviscous/shear-thinning hot path: factored closures +
@@ -184,11 +267,12 @@ def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False,
     ``thin`` (ghost-explicit layouts only) enables in-kernel shear
     thinning — see :func:`_thinning_eta`."""
     p = eos_pressure(q0, cfg.prop)
-    eta = _eta_fused(cfg, q0, p)
+    mu0 = _eta_fused(cfg, q0, p)
+    eta = mu0
     if cfg.thinning is not None:
         assert thin is not None, \
             "thinning requires the ghost-explicit kernel layout"
-        eta = _thinning_eta(cfg, p, eta, st, thin)
+        eta = _thinning_eta(cfg, p, mu0, st, thin)
     tb_xx, tb_yy, tb_xy, S0, S1, S2 = fused_pass_top_pre(
         q0, q1, q2, st, cfg.U, cfg.V, eta, cfg.bulk)
 
@@ -204,6 +288,9 @@ def _one_pass_fused(cfg, q0, q1, q2, st, dt, d, return_upd=False,
     u0 = dt * (ddx(q1) + ddy(q2) - S0)
     u1 = dt * (ddx(p + tb_xx) + ddy(tb_xy) - S1)
     u2 = dt * (ddx(tb_xy) + ddy(p + tb_yy) - S2)
+    if cfg.thinning is not None and thin[4]:
+        u1, u2 = _seam_patch(cfg, (u1, u2), p, mu0, st, (q0, q1, q2),
+                             (tb_xx, tb_yy, tb_xy), d, dt, thin)
     if return_upd:
         return u0, u1, u2
     return q0 - u0, q1 - u1, q2 - u2
@@ -280,7 +367,7 @@ def _refill_ghosts(cfg, comps, bs, ny, i_strip, n_strips):
     return out
 
 
-def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
+def _kernel_fused_bc(cfg, bs, ny, n_strips, per_x, d0, d1, emit_delta,
                      dt_ref, q_hbm, st_hbm, out_ref, q_loc, st_loc, sems):
     i = pl.program_id(0)
     x0 = pl.multiple_of(i * bs, 8)
@@ -298,7 +385,7 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, d0, d1, emit_delta,
     dt = dt_ref[0]
     st = tuple(st_loc[c] for c in range(N_STATIC))
     q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
-    thin = (bs, ny, i == 0, i == n_strips - 1) \
+    thin = (bs, ny, i == 0, i == n_strips - 1, per_x) \
         if cfg.thinning is not None else None
 
     comps = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0, thin=thin)
@@ -549,7 +636,7 @@ def _kernel_fused_hbm_loop(cfg, bs, nx, n_strips, n_sweeps, k, d0, d1,
 
 
 def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
-                         d0, d1,
+                         nch, d0, d1,
                          dt_ref, q_hbm, st_hbm, outA, outB,
                          q_loc, st_loc, out_loc, sems):
     """Ghost-explicit variant of :func:`_kernel_fused_hbm_loop`: the
@@ -558,7 +645,13 @@ def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
     average (the same `_refill_ghosts` formulas as the one-step boundary
     kernel).  Domain edges consume no halo -- the ghost refill resets
     the adjacent row exactly each pass -- so only inter-strip edges
-    shrink (2 rows/step without thinning, 4 with; see _k_steps)."""
+    shrink (2 rows/step without thinning, 4 with; see _k_steps).
+
+    ``nch=6``: compensated variant — the carry is the (q, q_lo)
+    6-channel state with in-kernel Kahan accumulation (same arithmetic
+    as the per-step emit_delta path; q_lo at ghost slots is dead since
+    the q ghosts are refilled from the compensated interior each step,
+    mirroring the per-step ext_step-from-interior semantics)."""
     i = pl.program_id(1)
     rows = bs + 2 * HALO_X
     dt = dt_ref[0]
@@ -584,23 +677,48 @@ def _kernel_fused_bc_hbm(cfg, bs, nx, ny, n_strips, n_sweeps, k, per_x,
 
     def compute(slot):
         st = tuple(st_loc[slot, c] for c in range(N_STATIC))
-        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
-        thin = (bs, ny, i == 0, i == n_strips - 1) \
+        thin = (bs, ny, i == 0, i == n_strips - 1, per_x) \
             if cfg.thinning is not None else None
 
+        if nch == 3:
+            q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+            for _ in range(k):
+                comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0,
+                                        thin=thin)
+                comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
+                a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1,
+                                          thin=thin)
+                q0 = (a + q0) / 2.
+                q1 = (b + q1) / 2.
+                q2 = (c + q2) / 2.
+                q0, q1, q2 = _refill_ghosts(cfg, (q0, q1, q2), bs, ny, i,
+                                            n_strips)
+            return q0, q1, q2
+
+        # compensated: Kahan two-sum of the Sterbenz-exact step increment
+        # (interior cells; ghost slots are refilled from the carry anyway)
+        q0, q1, q2 = q_loc[slot, 0], q_loc[slot, 1], q_loc[slot, 2]
+        l0, l1, l2 = q_loc[slot, 3], q_loc[slot, 4], q_loc[slot, 5]
         for _ in range(k):
             comps = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0, thin=thin)
             comps = _refill_ghosts(cfg, comps, bs, ny, i, n_strips)
-            a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1, thin=thin)
-            q0 = (a + q0) / 2.
-            q1 = (b + q1) / 2.
-            q2 = (c + q2) / 2.
+            u0, u1, u2 = _one_pass_fused(cfg, *comps, st, dt, d1,
+                                         return_upd=True, thin=thin)
+            outs = []
+            for q, pred, u, lo in ((q0, comps[0], u0, l0),
+                                   (q1, comps[1], u1, l1),
+                                   (q2, comps[2], u2, l2)):
+                delta = ((pred - q) - u) / 2.
+                y = delta + lo
+                t = q + y
+                outs.append((t, y - (t - q)))
+            (q0, l0), (q1, l1), (q2, l2) = outs
             q0, q1, q2 = _refill_ghosts(cfg, (q0, q1, q2), bs, ny, i,
                                         n_strips)
-        return q0, q1, q2
+        return q0, q1, q2, l0, l1, l2
 
     def store(slot, chs):
-        for c in range(3):
+        for c in range(nch):
             out_loc[slot, c] = chs[c]
 
     def halo_writes(slot, with_dst):
@@ -943,8 +1061,8 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
         # thinning to non-periodic x edges)
         W = _pad_width(ny)
         per_x = all(cfg.bc_edge(0)["P"])
-        kernel = partial(_kernel_fused_bc, cfg, bs, ny, grid[0], d0, d1,
-                         emit_delta)
+        kernel = partial(_kernel_fused_bc, cfg, bs, ny, grid[0], per_x,
+                         d0, d1, emit_delta)
 
         def call(q_ext, stat_ext, dt):
             return pl.pallas_call(
@@ -972,10 +1090,20 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
             out = jnp.zeros_like(q_like).at[:, 1:-1, 1:-1].set(q_int)
             return apply_bcs(out, cfg)
 
+        def ext_lo(lo):
+            # interior Kahan carry into the W-padded layout (ghosts dead)
+            return _extend_bc(jnp.pad(lo, ((0, 0), (1, 1), (1, 1))),
+                              per_x, W)
+
+        def int_slice(ext_arr):
+            return ext_arr[:, HALO_X:HALO_X + nx, :ny]
+
+        nch_hbm = 6 if emit_delta else 3
+
         def hbm_loop_factory(n_sweeps):
             kern = partial(_kernel_fused_bc_hbm, cfg, bs, nx, ny, grid[0],
-                           n_sweeps, _k_steps(cfg), per_x, d0, d1)
-            ext_shape = (3, nx + 2 * HALO_X, W)
+                           n_sweeps, _k_steps(cfg), per_x, nch_hbm, d0, d1)
+            ext_shape = (nch_hbm, nx + 2 * HALO_X, W)
 
             def call_hbm(q_ext, stat_ext, dt):
                 outs = pl.pallas_call(
@@ -988,9 +1116,9 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                     out_shape=[jax.ShapeDtypeStruct(ext_shape, dtype),
                                jax.ShapeDtypeStruct(ext_shape, dtype)],
                     scratch_shapes=[
-                        pltpu.VMEM((2, 3, rows, W), dtype),
+                        pltpu.VMEM((2, nch_hbm, rows, W), dtype),
                         pltpu.VMEM((2, N_STATIC, rows, W), dtype),
-                        pltpu.VMEM((2, 3, rows, W), dtype),
+                        pltpu.VMEM((2, nch_hbm, rows, W), dtype),
                         pltpu.SemaphoreType.DMA((7,)),
                     ],
                     grid=(n_sweeps, grid[0]),
@@ -1000,10 +1128,8 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
 
             return call_hbm
 
-        # the BC whole-run factory is plain-accumulation only; compensated
-        # BC runs keep the per-step emit_delta path
         return (call, extend, reassemble, fused, ext_step, None, None,
-                None if emit_delta else hbm_loop_factory)
+                hbm_loop_factory, ext_lo, int_slice)
 
     def extend(arr):
         return _extend_interior(arr[:, 1:-1, 1:-1])
@@ -1124,8 +1250,14 @@ def _make_call(cfg, nx, ny, bs, dtype, emit_delta=False):
                 **common,
             )(dt, q_ext, stat_ext)
 
+    def ext_lo(lo):
+        return _extend_interior(lo)
+
+    def int_slice(ext_arr):
+        return ext_arr[:, HALO_X:HALO_X + nx, :]
+
     return (call, extend, reassemble, fused, ext_step, call_ext,
-            vmem_loop_factory, hbm_loop_factory)
+            vmem_loop_factory, hbm_loop_factory, ext_lo, int_slice)
 
 
 @lru_cache(maxsize=16)
@@ -1191,7 +1323,8 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     if with_lo and not compensated:
         raise ValueError("with_lo requires compensated=True")
     (call, extend, reassemble, fused, ext_step, call_ext, vmem_factory,
-     hbm_factory) = _make_call(cfg, nx, ny, bs, dtype, compensated)
+     hbm_factory, ext_lo, int_slice) = _make_call(cfg, nx, ny, bs, dtype,
+                                                  compensated)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, topo, extra, dt, n_steps, q_lo=None):
@@ -1224,10 +1357,9 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
                 # whole-run Kahan carry in one kernel; the remainder steps
                 # continue the (q, q_lo) carry through the per-step path
                 ext_q = extend(q)
-                carry6 = jnp.concatenate([ext_q, _extend_interior(lo0)], 0)
+                carry6 = jnp.concatenate([ext_q, ext_lo(lo0)], 0)
                 carry6 = hbm_factory(n_sweeps)(carry6, *args, dt)
-                sl = slice(HALO_X, HALO_X + q.shape[1] - 2)
-                carry = (carry6[:3, sl, :], carry6[3:, sl, :])
+                carry = (int_slice(carry6[:3]), int_slice(carry6[3:]))
             else:
                 n_rem = n_steps
                 carry = (q[:, 1:-1, 1:-1], lo0)

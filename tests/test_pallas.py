@@ -199,7 +199,6 @@ def test_pallas_bayada_mixture_matches_xla_interpret():
 
 
 @pytest.mark.parametrize("extra_props,extra_grid", [
-    # fully periodic journal + piezo + Eyring thinning
     # D/N x edges + piezo + Eyring thinning
     ("    piezo: {name: Barus, aB: 2.e-9}\n"
      "    thinning: {name: Eyring, tauE: 5.e5}\n",
@@ -215,6 +214,13 @@ def test_pallas_bayada_mixture_matches_xla_interpret():
     xW: ['D', 'N', 'N']
     xE_D: 877.7007
     xW_D: 877.7007"""),
+    # fully periodic journal + Eyring thinning (seam-patch path)
+    ("    thinning: {name: Eyring, tauE: 5.e5}\n", ""),
+    # fully periodic + piezo + Eyring thinning
+    ("    piezo: {name: Barus, aB: 2.e-9}\n"
+     "    thinning: {name: Eyring, tauE: 5.e5}\n", ""),
+    # fully periodic + Carreau thinning
+    ("    thinning: {name: Carreau, lam: 1.e-8, a: 2., N: 0.5}\n", ""),
 ])
 def test_pallas_thinning_step_matches_xla_interpret(extra_props,
                                                     extra_grid):
@@ -248,15 +254,39 @@ def test_pallas_thinning_step_matches_xla_interpret(extra_props,
     assert scaled_err(out, ref) < 1e-5
 
 
-def test_thinning_periodic_x_not_pallas_supported():
-    """Periodic-x thinning keeps the XLA path: the serial scheme re-wraps
-    the x ghost rows from the remote seam interior after every pass,
-    which a strip-local kernel cannot reproduce once thinning's
-    one-sided eta breaks translation invariance at the ghost row."""
+def test_thinning_periodic_x_multistep_matches_xla():
+    """Periodic-x thinning through the seam-patched kernel: several
+    per-step kernel calls track the XLA trajectory (the round-1 seam
+    divergence measured 6e-5 in ONE step; the patch holds it at f32
+    rounding across steps)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
     problem = Problem.from_string(sim_th)
     problem._pre_run()
-    assert not pallas_supported(problem._solver_cfg, problem.grid["Ny"])
+    cfg = problem._solver_cfg
+    assert pallas_supported(cfg, problem.grid["Ny"])
+
+    state = as_f32(perturbed(problem))
+    det = make_det_step(cfg, with_aux=False)
+    ref_state = state
+    for _ in range(4):
+        ref_state = det(ref_state)
+    ref = np.asarray(ref_state.q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_step, _make_call
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+        step = make_pallas_step(cfg, 32, 128, bs=16)
+        q = state.q
+        for i in range(4):
+            q = step(q, state.topo, state.extra, state.dt, i)
+        out = np.asarray(q)
+        make_pallas_step.cache_clear()
+        _make_call.cache_clear()
+
+    assert scaled_err(out, ref) < 1e-5
 
 
 def test_pallas_thinning_loop_matches_per_step():
@@ -383,7 +413,7 @@ def test_pallas_multi_step_matches_ext():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, call_ext, _,
-         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+         hbm_factory, *_) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert fused and call_ext is not None and hbm_factory is not None
         call_multi = hbm_factory(1)
 
@@ -425,7 +455,7 @@ def test_pallas_bc_multi_step_matches_onestep():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, call_ext, vmem_f,
-         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+         hbm_factory, *_) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert fused and call_ext is None and hbm_factory is not None
         call_multi = hbm_factory(1)
 
@@ -502,7 +532,7 @@ def test_pallas_hbm_loop_matches_ext():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, call_ext, _,
-         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+         hbm_factory, *_) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert hbm_factory is not None
 
         stat_ext = extend(stencil._statics_ghosted(
@@ -532,8 +562,8 @@ def test_pallas_comp_hbm_matches_per_step():
     with pltpu.force_tpu_interpret_mode():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
-        (call, extend, reassemble, fused, ext_step, _, _, hbm_factory) \
-            = stencil._make_call(cfg, 32, 128, 16, jnp.float32, True)
+        (call, extend, reassemble, fused, ext_step, _, _, hbm_factory,
+         *_) = stencil._make_call(cfg, 32, 128, 16, jnp.float32, True)
         assert hbm_factory is not None
 
         stat_ext = extend(stencil._statics_ghosted(
@@ -586,7 +616,7 @@ def test_pallas_bc_hbm_loop_matches_onestep():
         from gapflow_tpu.ops import stencil
         stencil._make_call.cache_clear()
         (call, extend, reassemble, fused, ext_step, _, _,
-         hbm_factory) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
+         hbm_factory, *_) = stencil._make_call(cfg, 32, 128, 16, jnp.float32)
         assert hbm_factory is not None
 
         stat_ext = extend(stencil._statics_ghosted(
@@ -633,6 +663,94 @@ def test_pallas_thinning_hbm_loop_matches_per_step():
         q_int = state.q.astype(jnp.float32)[:, 1:-1, 1:-1]
         for _ in range(9):
             q_int = call(ext_step(q_int), stat_ext, dt)
+        ref = np.asarray(reassemble(state.q.astype(jnp.float32), q_int))
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+
+    assert scaled_err(out, ref) < 1e-5
+
+
+def test_pallas_thinning_periodic_hbm_loop_matches_xla():
+    """Whole-run ghost-explicit kernel with PERIODIC-x thinning (seam
+    patch, k=2 temporal blocking) equals the XLA trajectory — the
+    strip-local halo evolution must apply the seam rule, or the halo
+    drifts from the remote interior it mirrors within one sweep."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_th = sim + "    thinning: {name: Eyring, tauE: 5.e5}\n"
+    problem = Problem.from_string(sim_th)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = as_f32(perturbed(problem))
+
+    n_steps = 9   # 4 temporal-blocked sweeps + 1 remainder step
+    det = make_det_step(cfg, with_aux=False)
+    ref_state = state
+    for _ in range(n_steps):
+        ref_state = det(ref_state)
+    ref = np.asarray(ref_state.q, dtype=np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        assert stencil._k_steps(cfg) == 2
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+        loop = stencil.make_pallas_loop(cfg, 32, 128, bs=16)
+        out = np.asarray(loop(state.q, state.topo, state.extra,
+                              state.dt, n_steps))
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+
+    assert scaled_err(out, ref) < 1e-5
+
+
+@pytest.mark.parametrize("grid_extra,props_extra", [
+    # D/N x edges + thinning
+    (SIM_BC_GRID, "    thinning: {name: Eyring, tauE: 5.e5}\n"),
+    # fully periodic + thinning (seam patch)
+    ("""    Nx: 32
+    Ny: 128""", "    thinning: {name: Eyring, tauE: 5.e5}\n"),
+    # plain D/N (no thinning)
+    (SIM_BC_GRID, ""),
+], ids=["bc-thinning", "periodic-thinning", "bc-plain"])
+def test_pallas_bc_compensated_hbm_matches_per_step(grid_extra, props_extra):
+    """Compensated (Kahan, 6-channel) ghost-explicit whole-run kernel
+    equals the per-step emit_delta + host-Kahan path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim_c = sim.replace("""    Nx: 32
+    Ny: 128""", grid_extra) + props_extra
+    problem = Problem.from_string(sim_c)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = perturbed(problem)
+    n_steps = 9
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil.make_pallas_loop.cache_clear()
+        stencil._make_call.cache_clear()
+        # whole-run path (sweeps through the 6-channel kernel + remainder)
+        loop = stencil.make_pallas_loop(cfg, 32, 128, bs=16,
+                                        compensated=True)
+        out = np.asarray(loop(state.q, state.topo, state.extra,
+                              state.dt, n_steps))
+
+        # per-step reference: emit_delta kernel + host Kahan carry
+        (call, extend, reassemble, fused, ext_step, *_) = \
+            stencil._make_call(cfg, 32, 128, 16, jnp.float32, True)
+        stat_ext = extend(stencil._statics_ghosted(
+            state.topo.astype(jnp.float32),
+            state.extra.astype(jnp.float32)))
+        dt = jnp.asarray(state.dt, jnp.float32)[None]
+        q_int = state.q.astype(jnp.float32)[:, 1:-1, 1:-1]
+        lo = jnp.zeros_like(q_int)
+        for _ in range(n_steps):
+            delta = call(ext_step(q_int), stat_ext, dt)
+            y = delta + lo
+            t = q_int + y
+            lo = y - (t - q_int)
+            q_int = t
         ref = np.asarray(reassemble(state.q.astype(jnp.float32), q_int))
         stencil.make_pallas_loop.cache_clear()
         stencil._make_call.cache_clear()
