@@ -128,7 +128,7 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
         def body(i, carry):
             q, lo, u = carry
             topo = _topo_from_deformation(
-                h_und + 0., u - (u[0, 0] if shift_reference else 0.),
+                h_und, u - (u[0, 0] if shift_reference else 0.),
                 cfg.dx, cfg.dy)
             # note: h uses the reference-shifted deformation like the host
             q, lo = fluid_chunk((q, lo), topo.astype(dtype), extra_d, dt,

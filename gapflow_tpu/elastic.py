@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops import specfft
+
 
 def _love_kernel(dx, dy, X, Y):
     """Surface displacement at offsets (X, Y) due to unit uniform pressure on
@@ -54,17 +56,30 @@ class PeriodicHalfSpace:
         nx, ny = nb_grid_pts
         Lx, Ly = physical_sizes
         qx = 2. * np.pi * np.fft.fftfreq(nx, d=Lx / nx)
-        qy = 2. * np.pi * np.fft.rfftfreq(ny, d=Ly / ny)
+
+        # the ghost-inclusive parity grid (Nx+2 points) usually has a large
+        # prime factor that cripples the native TPU FFT; route those sizes
+        # through the mixed-radix MXU path (full real-even spectrum)
+        self._mixed = specfft.needs_mixed_radix((nx, ny))
+        qy_full = 2. * np.pi * np.fft.fftfreq(ny, d=Ly / ny)
+        qy = qy_full if self._mixed else \
+            2. * np.pi * np.fft.rfftfreq(ny, d=Ly / ny)
         q = np.sqrt(qx[:, None] ** 2 + qy[None, :] ** 2)
         with np.errstate(divide="ignore"):
             weights = 2. / (young * q)
         weights[0, 0] = 0.  # stiffness_q0 = 0: zero-mean response
         self._weights = jnp.asarray(weights)
+        if self._mixed:
+            self._weights_t = jnp.asarray(np.ascontiguousarray(weights.T))
         self._ny = ny
 
     def deformation(self, p):
         """Displacement field for pressure field p (positive p -> positive u)."""
-        return jnp.fft.irfft2(jnp.fft.rfft2(p) * self._weights, s=p.shape)
+        if self._mixed:
+            return specfft.spectral_multiply_t(
+                p, self._weights_t.astype(p.dtype))
+        return jnp.fft.irfft2(jnp.fft.rfft2(p) * self._weights.astype(p.dtype),
+                              s=p.shape)
 
 
 class FreeHalfSpace:
@@ -92,14 +107,28 @@ class FreeHalfSpace:
                   + _love_kernel(dx, dy, X, Y - k * Ly)
         G = G / young
 
-        self._Ghat = jnp.asarray(np.fft.rfft2(G))
+        # the 2Nx x 2Ny padded grid inherits the parity grid's large prime
+        # factors (e.g. 2052 = 2^2*3^3*19) — same mixed-radix escape as the
+        # periodic kernel.  G is real and even under index negation on the
+        # padded torus, so its full spectrum is real.
+        self._mixed = specfft.needs_mixed_radix((2 * nx, 2 * ny))
+        if self._mixed:
+            Ghat = np.fft.fft2(G).real
+            self._Ghat = jnp.asarray(Ghat)
+            self._Ghat_t = jnp.asarray(np.ascontiguousarray(Ghat.T))
+        else:
+            self._Ghat = jnp.asarray(np.fft.rfft2(G))
         self._shape = (nx, ny)
         self._padded = (2 * nx, 2 * ny)
 
     def deformation(self, p):
         nx, ny = self._shape
         ppad = jnp.zeros(self._padded, dtype=p.dtype).at[:nx, :ny].set(p)
-        u = jnp.fft.irfft2(jnp.fft.rfft2(ppad) * self._Ghat, s=self._padded)
+        if self._mixed:
+            u = specfft.spectral_multiply_t(ppad, self._Ghat_t.astype(p.dtype))
+        else:
+            u = jnp.fft.irfft2(jnp.fft.rfft2(ppad) * self._Ghat,
+                               s=self._padded)
         return u[:nx, :ny]
 
 
@@ -170,11 +199,18 @@ class ElasticDeformation:
     def get_G_real(self):
         """Centered real-space Green's function (introspection helper)."""
         if isinstance(self._hs, FreeHalfSpace):
-            G = np.fft.irfft2(np.asarray(self._hs._Ghat), s=self._hs._padded)
+            Ghat = np.asarray(self._hs._Ghat)
+            if self._hs._mixed:   # full real spectrum, not rfft layout
+                G = np.fft.ifft2(Ghat).real
+            else:
+                G = np.fft.irfft2(Ghat, s=self._hs._padded)
         else:
-            w = np.zeros((self.u_prev.shape[0], self.u_prev.shape[1]))
+            shape = (self.u_prev.shape[0], self.u_prev.shape[1])
             w_hat = np.asarray(self._hs._weights)
-            G = np.fft.irfft2(w_hat, s=w.shape)
+            if self._hs._mixed:
+                G = np.fft.ifft2(w_hat).real
+            else:
+                G = np.fft.irfft2(w_hat, s=shape)
         return np.fft.fftshift(G)
 
     def get_G_real_slices(self):

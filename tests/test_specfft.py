@@ -1,0 +1,94 @@
+"""Mixed-radix spectral path: correctness vs numpy and the native FFT.
+
+The elastic half-space runs on the ghost-inclusive parity grid
+(reference GaPFlow/topography.py:357), whose sizes (Nx+2) usually carry a
+large prime factor; ops/specfft.py routes those through a Cooley-Tukey
+split with the bad-prime DFT as an MXU matmul.  These tests pin the
+decomposition against numpy and the elastic kernels against their native
+rfft2 formulation.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gapflow_tpu.ops import specfft
+
+
+def test_bad_factor():
+    assert specfft.bad_factor(1024) == 1
+    assert specfft.bad_factor(1026) == 19     # 2 * 3^3 * 19
+    assert specfft.bad_factor(2052) == 19
+    assert specfft.bad_factor(102) == 17      # 2 * 3 * 17
+    assert specfft.bad_factor(19) == 19
+    assert specfft.bad_factor(13 * 8) == 1    # 13 is native-friendly
+    assert specfft.bad_factor(17 * 19) == 17 * 19
+    assert not specfft.needs_mixed_radix((1024, 1024))
+    assert specfft.needs_mixed_radix((1024, 1026))
+
+
+@pytest.mark.parametrize("shape", [(1026, 1026), (54, 38), (19, 19),
+                                   (102, 64), (36, 34)])
+def test_fft2_matches_numpy(shape):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    got = np.asarray(specfft.fft2(jnp.asarray(x)))
+    ref = np.fft.fft2(x)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-10
+
+
+@pytest.mark.parametrize("shape", [(1026, 1026), (102, 102), (38, 54)])
+def test_spectral_multiply_matches_rfft_path(shape):
+    rng = np.random.default_rng(5)
+    p = rng.standard_normal(shape)
+    # real-even kernel on the torus -> real full spectrum
+    gx = np.fft.fftfreq(shape[0])
+    gy = np.fft.fftfreq(shape[1])
+    w_full = 1. / (1. + gx[:, None] ** 2 + gy[None, :] ** 2)
+
+    ref = np.fft.irfft2(np.fft.rfft2(p) * w_full[:, :shape[1] // 2 + 1],
+                        s=shape)
+    got = np.asarray(specfft.spectral_multiply(jnp.asarray(p),
+                                               jnp.asarray(w_full)))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+
+
+def test_periodic_halfspace_mixed_equals_native():
+    """1026-point periodic kernel (mixed-radix) vs a hand-built rfft2 path."""
+    from gapflow_tpu.elastic import PeriodicHalfSpace
+
+    n = 102  # 2*3*17: exercises the mixed path at test-friendly size
+    hs = PeriodicHalfSpace((n, n), 1e9, (1e-3, 1e-3))
+    assert hs._mixed
+
+    rng = np.random.default_rng(7)
+    p = rng.standard_normal((n, n)) * 1e5
+    u = np.asarray(hs.deformation(jnp.asarray(p)))
+
+    qx = 2. * np.pi * np.fft.fftfreq(n, d=1e-3 / n)
+    q = np.sqrt(qx[:, None] ** 2 + qx[None, :] ** 2)
+    with np.errstate(divide="ignore"):
+        w = 2. / (1e9 * q)
+    w[0, 0] = 0.
+    ref = np.fft.irfft2(np.fft.rfft2(p) * w[:, :n // 2 + 1], s=p.shape)
+    assert np.abs(u - ref).max() <= 1e-10 * np.abs(ref).max()
+
+
+def test_free_halfspace_mixed_equals_native():
+    """Padded free-space kernel via the mixed path vs direct rfft2."""
+    from gapflow_tpu.elastic import FreeHalfSpace
+
+    n = 51  # padded 102 = 2*3*17 -> mixed
+    hs = FreeHalfSpace((n, n), 1e9, (1e-3, 1e-3))
+    assert hs._mixed
+
+    rng = np.random.default_rng(9)
+    p = rng.standard_normal((n, n)) * 1e5
+    u = np.asarray(hs.deformation(jnp.asarray(p)))
+
+    Ghat_full = np.asarray(hs._Ghat)
+    ppad = np.zeros((2 * n, 2 * n))
+    ppad[:n, :n] = p
+    ref = np.fft.irfft2(np.fft.rfft2(ppad) * Ghat_full[:, :n + 1],
+                        s=(2 * n, 2 * n))[:n, :n]
+    assert np.abs(u - ref).max() <= 1e-10 * np.abs(ref).max()
