@@ -185,6 +185,13 @@ def main():
     fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
     gp_refit_s, gp_update_s = bench_gp_refit()
 
+    # correctness on the SAME backend as the throughput numbers: f32
+    # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
+    # equality (on TPU this is the only Mosaic-compiled check; the CPU
+    # suite runs the kernels in interpret mode only)
+    from gapflow_tpu.validate import correctness_block
+    correctness = correctness_block()
+
     result = {
         "metric": "FV cell-updates/s/chip @1024^2 (f32); gp_refit_ms @N=2048",
         "value": float(throughput),
@@ -194,8 +201,12 @@ def main():
         "gp_refit_ms": float(gp_refit_s * 1e3),
         "gp_al_update_ms": float(gp_update_s * 1e3),
         "gp_vs_target": float(gp_target / gp_refit_s),
+        "correctness": correctness,
     }
     print(json.dumps(result))
+    if not correctness["ok"]:
+        print("BENCH CORRECTNESS FAILURE", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

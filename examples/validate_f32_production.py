@@ -5,8 +5,13 @@ fused kernel to steady state and compares the pressure profile with the
 analytic Sommerfeld solution — the same acceptance criterion as the
 float64 verification suite (<2% relative L2 error).
 
+The check itself lives in :mod:`gapflow_tpu.validate` and runs inside
+``bench.py`` on every benchmark, so BENCH_r*.json carries it; this script
+is the standalone entry point.
+
 Float32 production runs have to respect three constraints that the f64
-suite never sees; the parameters here are chosen accordingly:
+suite never sees; the parameters in gapflow_tpu.validate.journal_problem
+are chosen accordingly:
 
 1. **EOS stiffness vs resolvable density.**  The f64 suite's C1 = 3.5e12
    implies steady density deviations ~1e-8 relative — below f32 epsilon.
@@ -40,46 +45,10 @@ import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
 
-import numpy as np
-
-from gapflow_tpu import Problem
-
-
-def sommerfeld_solution(x, Lx, mu, U, clearance_ratio, eps, P0):
-    Rb = Lx / (2. * np.pi)
-    c = clearance_ratio * Rb
-    omega = U / Rb
-    prefac = 6. * mu * omega * (Rb / c) ** 2 * eps
-    return P0 + prefac * np.sin(x / Rb) * (2. + eps * np.cos(x / Rb)) \
-        / ((2. + eps ** 2) * (1. + eps * np.cos(x / Rb)) ** 2)
-
 
 def main():
-    Nx, Ny = 256, 128
-    problem = Problem.from_string(f"""
-options: {{output: data/val, write_freq: 100000, silent: True}}
-grid: {{dx: 4.e-6, dy: 4.e-6, Nx: {Nx}, Ny: {Ny}}}
-geometry: {{type: journal, CR: 1.e-2, eps: 0.7, U: 0.1, V: 0.}}
-numerics: {{CFL: 0.5, adaptive: 0, tol: 1e-9, dt: 1.5e-10, max_it: 1000000}}
-properties: {{shear: 0.0794, bulk: 0., EOS: DH, P0: 101325.,
-             rho0: 877.7007, C1: 3.5e10, C2: 1.23}}
-""")
-    problem._pre_run()
-    problem.run_steps_fast(20000)
-
-    problem._refresh_det_fields()
-    p_num = np.asarray(problem.pressure.pressure)[1:-1, Ny // 2]
-
-    Lx = problem.grid["Lx"]
-    x_edges = np.linspace(0., Lx, Nx + 1)
-    x = (x_edges[1:] + x_edges[:-1]) / 2.
-
-    dp = p_num[1] - p_num[0]
-    p_ana = sommerfeld_solution(x, Lx, problem.prop["shear"],
-                                problem.geo["U"], problem.geo["CR"],
-                                problem.geo["eps"], p_num[0] - dp / 2)
-
-    rel_err = np.linalg.norm(p_ana - p_num) / np.linalg.norm(p_ana)
+    from gapflow_tpu.validate import sommerfeld_l2
+    rel_err = sommerfeld_l2()
     print(f"f32 Pallas production path vs analytic Sommerfeld: "
           f"rel L2 error = {rel_err:.4f}  "
           f"({'PASS' if rel_err < 0.02 else 'FAIL'} at the 2% criterion)")

@@ -91,8 +91,18 @@ def read_history_csv(fname):
 # ---------------------------------------------------------------------------
 
 def read_yaml_input(file):
-    """Parse and sanitize a YAML input file (or stream) into 8 sections."""
-    print_header("PROBLEM SETUP")
+    """Parse and sanitize a YAML input file (or stream) into 8 sections.
+
+    ``options: silent: True`` also suppresses the setup echo (the
+    reference prints it unconditionally at parse time,
+    GaPFlow/io.py:112-123; gating it on the raw flag keeps bench/CLI
+    output machine-parseable without changing any sanitized value).
+    """
+    import contextlib
+    import io as _io
+
+    raw = yaml.full_load(file)
+    silent = bool((raw.get("options") or {}).get("silent", False))
 
     sanitizers = {
         "options": sanitize_options,
@@ -105,14 +115,15 @@ def read_yaml_input(file):
         "md": sanitize_md,
     }
 
-    raw = yaml.full_load(file)
-    out = {}
-    for key, func in sanitizers.items():
-        print(f"- {key}:")
-        val = raw.get(key)
-        out[key] = func(val) if val is not None else None
-
-    print_header("PROBLEM SETUP COMPLETED")
+    with contextlib.redirect_stdout(_io.StringIO()) if silent \
+            else contextlib.nullcontext():
+        print_header("PROBLEM SETUP")
+        out = {}
+        for key, func in sanitizers.items():
+            print(f"- {key}:")
+            val = raw.get(key)
+            out[key] = func(val) if val is not None else None
+        print_header("PROBLEM SETUP COMPLETED")
     return out
 
 

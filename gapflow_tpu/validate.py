@@ -1,0 +1,150 @@
+"""Hardware correctness checks for the production (f32, Pallas) path.
+
+These run on whatever backend JAX is using — on a real TPU they validate
+the Mosaic-compiled kernels, which the CPU test suite can only exercise
+in interpret mode.  ``bench.py`` folds them into every benchmark run so
+BENCH_r*.json carries a correctness block next to the throughput numbers
+(a TPU-only kernel regression fails the bench loudly instead of shipping
+a fast wrong number).
+
+Two checks:
+
+- :func:`sommerfeld_l2` — the flagship journal-bearing problem through
+  the fused production loop to steady state vs the analytic Sommerfeld
+  pressure (same <2% rel-L2 criterion as the f64 verification suite;
+  reference analogue: GaPFlow/tests/test_journal_bearing.py).
+- :func:`pallas_vs_xla_err` — one fused Pallas step vs the XLA step on a
+  PERTURBED journal state (the unperturbed state is f32-frozen and
+  compares trivially), component-scaled max error.  Distinct compiled
+  programs agree to f32 rounding (~1e-7/step); real kernel bugs measure
+  orders above (the periodic-x thinning seam bug was 6e-5 in one step).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+_JOURNAL = """
+options: {{output: {out}, write_freq: 100000, silent: True}}
+grid: {{dx: {dx}, dy: {dy}, Nx: {nx}, Ny: {ny}}}
+geometry: {{type: journal, CR: 1.e-2, eps: 0.7, U: 0.1, V: 0.}}
+numerics: {{CFL: 0.5, adaptive: 0, tol: {tol}, dt: {dt}, max_it: 1000000}}
+properties: {{shear: 0.0794, bulk: 0., EOS: DH, P0: 101325.,
+             rho0: 877.7007, C1: 3.5e10, C2: 1.23{extra_props}}}
+"""
+
+
+def journal_problem(nx=256, ny=128, dx=4.e-6, dt=1.5e-10, tol=1e-9,
+                    out="data/val", extra_props=""):
+    from . import Problem
+    return Problem.from_string(_JOURNAL.format(
+        nx=nx, ny=ny, dx=dx, dy=dx, dt=dt, tol=tol, out=out,
+        extra_props=extra_props))
+
+
+def sommerfeld_solution(x, Lx, mu, U, clearance_ratio, eps, P0):
+    """Analytic Sommerfeld journal-bearing pressure (full film)."""
+    Rb = Lx / (2. * np.pi)
+    c = clearance_ratio * Rb
+    omega = U / Rb
+    prefac = 6. * mu * omega * (Rb / c) ** 2 * eps
+    return P0 + prefac * np.sin(x / Rb) * (2. + eps * np.cos(x / Rb)) \
+        / ((2. + eps ** 2) * (1. + eps * np.cos(x / Rb)) ** 2)
+
+
+def sommerfeld_l2(n_steps=20000, nx=256, ny=128):
+    """Rel-L2 pressure error of the f32 production loop vs Sommerfeld.
+
+    The f32 parameter constraints (EOS stiffness above f32 ulp, stiff
+    source stability, compensated accumulation against increment
+    underflow) are documented in examples/validate_f32_production.py.
+    """
+    problem = journal_problem(nx=nx, ny=ny)
+    problem._pre_run()
+    problem.run_steps_fast(n_steps)
+
+    problem._refresh_det_fields()
+    p_num = np.asarray(problem.pressure.pressure)[1:-1, ny // 2]
+
+    Lx = problem.grid["Lx"]
+    x_edges = np.linspace(0., Lx, nx + 1)
+    x = (x_edges[1:] + x_edges[:-1]) / 2.
+
+    dp = p_num[1] - p_num[0]
+    p_ana = sommerfeld_solution(x, Lx, problem.prop["shear"],
+                                problem.geo["U"], problem.geo["CR"],
+                                problem.geo["eps"], p_num[0] - dp / 2)
+    return float(np.linalg.norm(p_ana - p_num) / np.linalg.norm(p_ana))
+
+
+def _perturbed_state(problem, seed=0, amp=0.01):
+    """Non-inert f32 journal state (the initial state is f32-frozen)."""
+    from .core.step import apply_bcs
+    st = problem._make_state()
+    rng = np.random.default_rng(seed)
+    q = np.array(st.q)
+    q[0] *= 1. + amp * rng.standard_normal(q[0].shape)
+    q[1] += 0.1 * amp * float(np.mean(q[0])) * rng.standard_normal(q[0].shape)
+    st = st._replace(q=apply_bcs(jnp.asarray(q, st.q.dtype),
+                                 problem._solver_cfg))
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, st)
+
+
+def pallas_vs_xla_err(nx=256, ny=256, n_steps=8, extra_props="", amp=0.01):
+    """Component-scaled max error, Pallas loop vs XLA steps, perturbed state.
+
+    Runs n_steps through BOTH the fused Pallas loop (the production path,
+    Mosaic-compiled on TPU) and the per-step XLA program, from the same
+    perturbed f32 state.  Returns max_c max_xy |pallas - xla| / max|xla_c|.
+    """
+    from .core.step import make_det_step
+    from .ops import make_pallas_loop, pallas_supported
+
+    # dx/dt from the bench config: stable for any nx (the Sommerfeld
+    # dx=4e-6 is tuned to nx=256 — at smaller nx its gap shrinks with Lx
+    # and the stiff wall source 6*nu*dt/h_min^2 > 1 blows up both paths)
+    problem = journal_problem(nx=nx, ny=ny, dx=2.e-5, dt=5.e-11,
+                              out="data/val_eq", extra_props=extra_props)
+    problem._pre_run()
+    if not pallas_supported(problem._solver_cfg, ny):
+        raise RuntimeError("flagship config lost Pallas support")
+
+    # amp*C1 is the induced pressure swing; non-Newtonian configs need
+    # amp ~ 1e-4 (3.5e6 Pa) — at amp=0.01 the thinned film is unstable
+    # and BOTH paths blow up (the XLA step then freezes via its validity
+    # rollback while the kernel runs on to NaN)
+    state = _perturbed_state(problem, amp=amp)
+
+    det = jax.jit(make_det_step(problem._solver_cfg, with_aux=False))
+    s = state
+    for _ in range(n_steps):
+        s = det(s)
+    ref = np.asarray(s.q, dtype=np.float32)
+
+    loop = make_pallas_loop(problem._solver_cfg, nx, ny)
+    out = np.asarray(loop(state.q, state.topo, state.extra,
+                          state.dt, n_steps))
+
+    scale = np.abs(ref).reshape(3, -1).max(axis=1)
+    return float(np.max(np.abs(out - ref) / scale[:, None, None]))
+
+
+def correctness_block(sommerfeld_steps=20000):
+    """Run both checks; returns a dict for the bench JSON line.
+
+    ``ok`` is False on any regression — bench.py exits nonzero on it.
+    """
+    l2 = sommerfeld_l2(n_steps=sommerfeld_steps)
+    kern = pallas_vs_xla_err()
+    kern_thin = pallas_vs_xla_err(
+        extra_props=", piezo: {name: Barus, aB: 2.e-9}, "
+                    "thinning: {name: Eyring, tauE: 5.e5}", amp=1e-4)
+    return {
+        "sommerfeld_l2": l2,
+        "pallas_vs_xla_max_scaled_err": kern,
+        "pallas_thinning_vs_xla_max_scaled_err": kern_thin,
+        "ok": bool(l2 < 0.02 and kern < 1e-4 and kern_thin < 1e-4),
+    }
