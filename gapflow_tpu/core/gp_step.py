@@ -42,19 +42,14 @@ def _gp_mean(params, X_fit, alpha, Xtest):
     return (Ks.T @ alpha).T
 
 
-def make_gp_step_core(cfg, active_dims, num_features, use_gp):
-    """Unjitted GP-closed timestep builder (shared with the AL loop).
+def make_gp_closures(cfg, active_dims, num_features, use_gp):
+    """GP-surrogate constitutive closures, shape-agnostic.
 
-    active_dims: (dims_z, dims_x, dims_y) tuples (None when that surrogate
-    is deterministic); use_gp: (z, x, y) booleans; num_features: feature
-    count of the database.
-
-    Returns ``step(q, topo, extra, dt, step_idx, gp_state) -> (q, p_last)``
-    where gp_state is a dict with, per active surrogate k in {z, x, y}:
-    ``params_k``, ``Xfit_k``, ``alpha_k``, ``Xscale`` (full feature scale),
-    ``Yscale_k``.  ``Xfit_k``/``alpha_k`` may be fixed-capacity padded
-    buffers (gapflow_tpu.models.al_jit) — padded alpha rows are zero, so
-    the means are exact without masking.
+    Returns ``closures(q, topo, extra, gp_state) -> (p, tau_bulk, s_bot,
+    s_top)`` operating on any (3, a, b) block — the serial ghost-inclusive
+    array or a halo-padded shard (parallel.gp) — with the training set in
+    ``gp_state`` replicated.  See :func:`make_gp_step_core` for the
+    gp_state layout.
     """
     dims_z, dims_x, dims_y = active_dims
     gpz, gpx, gpy = use_gp
@@ -98,6 +93,25 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp):
             s_top = s_top.at[3].set(mean[1].reshape(shape))
 
         return p, tau_bulk, s_bot, s_top
+
+    return closures
+
+
+def make_gp_step_core(cfg, active_dims, num_features, use_gp):
+    """Unjitted GP-closed timestep builder (shared with the AL loop).
+
+    active_dims: (dims_z, dims_x, dims_y) tuples (None when that surrogate
+    is deterministic); use_gp: (z, x, y) booleans; num_features: feature
+    count of the database.
+
+    Returns ``step(q, topo, extra, dt, step_idx, gp_state) -> (q, p_last)``
+    where gp_state is a dict with, per active surrogate k in {z, x, y}:
+    ``params_k``, ``Xfit_k``, ``alpha_k``, ``Xscale`` (full feature scale),
+    ``Yscale_k``.  ``Xfit_k``/``alpha_k`` may be fixed-capacity padded
+    buffers (gapflow_tpu.models.al_jit) — padded alpha rows are zero, so
+    the means are exact without masking.
+    """
+    closures = make_gp_closures(cfg, active_dims, num_features, use_gp)
 
     def one_pass(q, topo, extra, dt, d, gp_state):
         p, tau_bulk, s_lo, s_up = closures(q, topo, extra, gp_state)

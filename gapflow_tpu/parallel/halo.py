@@ -68,6 +68,19 @@ def pad_blocks(global_with_ghosts, px, py):
     return np.concatenate(rows, axis=1)
 
 
+def pad_blocks_jnp(g, px, py):
+    """Traced (jnp) variant of :func:`pad_blocks` for fields rebuilt
+    on-device every step (e.g. the EHL topography)."""
+    C, nxg, nyg = g.shape
+    bx, by = (nxg - 2) // px, (nyg - 2) // py
+    rows = []
+    for i in range(px):
+        cols = [g[:, i * bx:i * bx + bx + 2, j * by:j * by + by + 2]
+                for j in range(py)]
+        rows.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
 def _neighbor_perm(axis_size, shift):
     return [(i, (i + shift) % axis_size) for i in range(axis_size)]
 
@@ -125,9 +138,17 @@ def _pad_with_halos(q, cfg, px, py):
     return q
 
 
-def _one_pass_local(cfg, q_pad, topo_pad, extra_pad, dt, d):
-    """One MacCormack pass on a halo-padded local block; returns interior."""
-    p, tau_bulk, s_lo, s_up = det_closures(cfg, q_pad, topo_pad, extra_pad)
+def _one_pass_local(cfg, q_pad, topo_pad, extra_pad, dt, d, closures=None):
+    """One MacCormack pass on a halo-padded local block; returns interior.
+
+    ``closures(q, topo, extra)`` defaults to the deterministic model;
+    parallel.gp passes the GP-surrogate closures instead.
+    """
+    if closures is None:
+        p, tau_bulk, s_lo, s_up = det_closures(cfg, q_pad, topo_pad,
+                                               extra_pad)
+    else:
+        p, tau_bulk, s_lo, s_up = closures(q_pad, topo_pad, extra_pad)
 
     FxH, FyH = hyperbolicFlux(q_pad, p)
     FxD, FyD = diffusiveFlux(q_pad, tau_bulk)
@@ -150,6 +171,13 @@ def make_sharded_det_step(cfg, mesh):
     q of global shape (3, Nx, Ny) sharded P(None, 'x', 'y') and the static
     fields in :func:`pad_blocks` layout.
     """
+    if cfg.thinning is not None:
+        # thinning's per-cell eta reads p at +-1 cells (np.gradient), so
+        # the halo cells' tau_bulk — consumed by the first interior cell —
+        # would need 2-deep halos to match the serial stencil exactly
+        raise NotImplementedError(
+            "sharded stepping with shear thinning needs 2-deep halos; "
+            "run thinning configs on the single-chip Pallas path")
     px, py = mesh.shape["x"], mesh.shape["y"]
 
     def local_step(q, topo_pad, extra_pad, dt, step):
@@ -193,6 +221,137 @@ def make_sharded_trajectory(cfg, mesh, n):
     return jax.jit(run)
 
 
+def _ownership_weights(bx, by, px, py, dtype):
+    """(bx+2, by+2) mask of cells this shard contributes to GLOBAL
+    reductions: its interior plus the halo rows/cols that are global
+    ghost cells (serial reductions run over the ghost-INCLUSIVE array —
+    reference problem.py kinetic_energy/v_max — so the shards owning a
+    global edge count their ghosts; interior-halo cells belong to a
+    neighbor and count zero)."""
+    ix = lax.axis_index("x")
+    iy = lax.axis_index("y")
+    wx = jnp.concatenate([(ix == 0).astype(dtype)[None],
+                          jnp.ones((bx,), dtype),
+                          (ix == px - 1).astype(dtype)[None]])
+    wy = jnp.concatenate([(iy == 0).astype(dtype)[None],
+                          jnp.ones((by,), dtype),
+                          (iy == py - 1).astype(dtype)[None]])
+    return wx[:, None] * wy[None, :]
+
+
+@lru_cache(maxsize=16)
+def make_sharded_state_step(cfg, mesh):
+    """Full sharded SimState timestep: adaptive dt, residual tracking and
+    NaN/negative-density rollback under spatial sharding.
+
+    The scalar pipeline of core.step.make_det_step recast as collectives:
+    kinetic energy is a masked local sum + psum over both mesh axes,
+    v_max/c_max are pmax reductions, and the critical timestep
+    ``dt_crit = min(dx, dy) / (v_max + c_max)`` — hence the adaptive
+    ``dt = CFL * dt_crit`` — is the implied global pmin: every device
+    steps with the SAME dt next step.  Validity is a psum of violation
+    counts; on violation every field rolls back uniformly (reference
+    problem.py:588-610).
+
+    Signature: ``step(state) -> state`` where state is a SimState with
+    ``q`` sharded P(None,'x','y'), ``topo``/``extra`` in pad_blocks
+    layout, and all scalars replicated.
+    """
+    from ..core.state import SimState
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    prop = cfg.prop
+    axes = ("x", "y")
+    spec = P(None, "x", "y")
+    specs = SimState(q=spec, topo=spec, extra=spec, dt=P(), step=P(),
+                     simtime=P(), ekin_old=P(), residual=P(),
+                     residual_buffer=P(), valid=P())
+
+    def local_step(state):
+        from ..models.eos import eos_sound_velocity
+
+        q0, dt = state.q, state.dt
+
+        def passes(qq, d0, d1):
+            qq1 = _one_pass_local(cfg, _pad_with_halos(qq, cfg, px, py),
+                                  state.topo, state.extra, dt, d0)
+            return _one_pass_local(cfg, _pad_with_halos(qq1, cfg, px, py),
+                                   state.topo, state.extra, dt, d1)
+
+        if cfg.MC_order != 0:
+            d0, d1 = mc_directions(cfg.MC_order)
+            q = passes(q0, d0, d1)
+        else:
+            q = lax.cond(state.step % 2 == 0,
+                         lambda qq: passes(qq, 1, -1),
+                         lambda qq: passes(qq, -1, 1), q0)
+
+        q = (q + q0) / 2.
+
+        # ghost-filled padded block of the averaged q == serial
+        # apply_bcs(q); global reductions run over owned cells only
+        qp = _pad_with_halos(q, cfg, px, py)
+        w = _ownership_weights(q.shape[1], q.shape[2], px, py, q.dtype)
+
+        bad_local = jnp.sum(w * (jnp.any(jnp.isnan(qp), axis=0)
+                                 | (qp[0] < 0.)))
+        bad = lax.psum(bad_local, axes)
+        valid = bad == 0.
+
+        # guard the scalar pipeline against the invalid branch (NaN or
+        # rho <= 0 would poison the collectives; results are discarded
+        # by the rollback select below)
+        qp_safe = jnp.where(valid, qp, jnp.ones_like(qp))
+
+        ekin = lax.psum(
+            jnp.sum(w * (qp_safe[1] ** 2 + qp_safe[2] ** 2)
+                    / qp_safe[0] / 2.), axes)
+        w_inf = jnp.where(w > 0., 0., -jnp.inf)
+        vmax = lax.pmax(jnp.max(
+            jnp.sqrt((qp_safe[1] ** 2 + qp_safe[2] ** 2) / qp_safe[0])
+            + w_inf), axes)
+        cmax = lax.pmax(jnp.max(eos_sound_velocity(qp_safe[0], prop)
+                                + w_inf), axes)
+
+        dt_crit = jnp.minimum(cfg.dx, cfg.dy) / (vmax + cmax)
+        cfl = dt / dt_crit
+        residual = (jnp.abs(ekin - state.ekin_old)
+                    / jnp.maximum(state.ekin_old, 1e-300) / cfl)
+        new_dt = cfg.CFL * dt_crit if cfg.adaptive else dt
+
+        return state._replace(
+            q=jnp.where(valid, q, q0),
+            dt=jnp.where(valid, new_dt, dt),
+            step=jnp.where(valid, state.step + 1, state.step),
+            simtime=jnp.where(valid, state.simtime + dt, state.simtime),
+            ekin_old=jnp.where(valid, ekin, state.ekin_old),
+            residual=jnp.where(valid, residual, state.residual),
+            residual_buffer=jnp.where(
+                valid,
+                jnp.roll(state.residual_buffer, 1).at[0].set(residual),
+                state.residual_buffer),
+            valid=valid,
+        )
+
+    sharded = shard_map(local_step, mesh=mesh, in_specs=(specs,),
+                        out_specs=specs, check_vma=False)
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=16)
+def make_sharded_state_trajectory(cfg, mesh, n):
+    """n adaptive sharded steps under one jit."""
+    step_raw = make_sharded_state_step(cfg, mesh)
+
+    def run(state):
+        def body(s, _):
+            return step_raw(s), None
+
+        state, _ = lax.scan(body, state, None, length=n)
+        return state
+
+    return jax.jit(run)
+
+
 def shard_problem_arrays(problem, mesh):
     """Device-place a Problem's state for the sharded step.
 
@@ -214,3 +373,28 @@ def shard_problem_arrays(problem, mesh):
     topo = put(pad_blocks(problem.topo.full, px, py))
     extra = put(pad_blocks(problem.fc.get_real_field("extra").p, px, py))
     return q, topo, extra
+
+
+def shard_problem_state(problem, mesh):
+    """Sharded SimState for :func:`make_sharded_state_step`.
+
+    q is the interior sharded P(None,'x','y'); topo/extra ride in
+    pad_blocks layout; scalars are replicated.  ekin_old seeds from the
+    ghost-inclusive serial sum (core.state.initial_state semantics).
+    """
+    from ..core.state import SimState
+
+    q, topo, extra = shard_problem_arrays(problem, mesh)
+    q_full = jnp.asarray(problem.q)
+    dtype = q_full.dtype
+    ekin = jnp.sum((q_full[1] ** 2 + q_full[2] ** 2) / q_full[0] / 2.)
+    return SimState(
+        q=q, topo=topo, extra=extra,
+        dt=jnp.asarray(problem.dt, dtype),
+        step=jnp.asarray(problem.step, jnp.int32),
+        simtime=jnp.asarray(getattr(problem, "simtime", 0.) or 0., dtype),
+        ekin_old=ekin.astype(dtype),
+        residual=jnp.asarray(1., dtype),
+        residual_buffer=jnp.full((5,), jnp.inf, dtype).at[0].set(1.),
+        valid=jnp.asarray(True),
+    )
