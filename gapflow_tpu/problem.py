@@ -511,7 +511,12 @@ class Problem:
         if not models:
             return False
         for m in models:
-            if m.use_active_learning and m._pause < 0:
+            # predict() decrements _pause BEFORE its AL check, so AL can
+            # trigger this step whenever _pause - 1 < 0 — including the
+            # initial _pause == 0 (reference models/gp.py:609-611; the
+            # previous `< 0` here skipped AL on the very first step and
+            # on the step a pause expires)
+            if m.use_active_learning and m._pause <= 0:
                 return False
             if m.last_fit_train_size < m.database.size:
                 return False
@@ -758,6 +763,32 @@ class Problem:
                                      jnp.asarray(self.dt), n)
         sync_host(self, q, gps, pauses, n)
         return int(n_acq)
+
+    def run_steps_gp_chunked(self, n, capacity=None, n_candidates=None):
+        """Advance ``n`` fixed-dt GP-surrogate steps with HOST-protocol
+        active learning and DEVICE-compiled stepping (core/al_chunked.py).
+
+        Between acquisitions the fluid advances inside one compiled
+        program; each acquisition is a device round trip in which the
+        host runs the unchanged reference protocol — MD oracle through
+        ``Database.add_data`` (renormalization included) and scipy-BFGS
+        retraining.  Unlike :meth:`run_steps_gp_device` this needs no
+        io_callback support, so it runs on tunneled/proxied TPU runtimes,
+        and its results match the host path (tests/test_al_chunked.py).
+
+        Returns the number of acquisitions.
+        """
+        from .core.al_chunked import run_gp_al_chunked
+
+        if not self.has_gp_model:
+            raise RuntimeError("run_steps_gp_chunked requires GP surrogates")
+        if self.step is None:
+            self._pre_run()
+        if self.numerics["adaptive"]:
+            raise RuntimeError("run_steps_gp_chunked uses a fixed dt")
+
+        return run_gp_al_chunked(self, n, capacity=capacity,
+                                 n_candidates=n_candidates)
 
     def _fast_run_eligible(self):
         """The chunked Pallas convergence run applies to float32 (x64 off)

@@ -1,0 +1,147 @@
+"""Chunked device<->host AL (core/al_chunked.py) reproduces the host
+protocol: same acquisitions, same database, same BFGS hyperparameters,
+same state — with the stepping between acquisitions compiled."""
+
+import numpy as np
+
+from gapflow_tpu import Problem
+
+
+def _sim(tmp_path, tag, atol, al, max_steps=2):
+    return f"""
+options:
+    output: {tmp_path}/{tag}
+    write_freq: 1000
+    use_tstamp: False
+    silent: True
+grid:
+    Lx: 1470.
+    Ly: 1.
+    Nx: 100
+    Ny: 1
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 0.8
+    xW_D: 0.8
+geometry:
+    type: parabolic
+    hmin: 12.
+    hmax: 60.
+    U: 0.12
+    V: 0.
+numerics:
+    CFL: 0.5
+    adaptive: 0
+    tol: 1e-8
+    dt: 0.02
+    max_it: 5_000
+properties:
+    shear: 2.15
+    bulk: 0.
+    EOS: BWR
+    T: 1.0
+    rho0: 0.8
+gp:
+    press:
+        fix_noise: True
+        atol: {atol}
+        rtol: 0.
+        obs_stddev: 2.e-2
+        max_steps: {max_steps}
+        active_learning: {al}
+    shear:
+        fix_noise: True
+        atol: {atol}
+        rtol: 0.
+        obs_stddev: 4.e-3
+        max_steps: {max_steps}
+        active_learning: {al}
+db:
+    init_size: 4
+    init_method: lhc
+    dtool_path: {tmp_path}/train_{tag}
+"""
+
+
+def test_chunked_matches_host_protocol_with_al(tmp_path):
+    """Tight tolerance: both paths acquire; database, hyperparameters,
+    pauses and state must agree."""
+    n = 6
+
+    p_host = Problem.from_string(_sim(tmp_path, "host", 1.e-3, "True"))
+    p_host._pre_run()
+    p_chun = Problem.from_string(_sim(tmp_path, "chun", 1.e-3, "True"))
+    p_chun._pre_run()
+
+    size0 = p_host.database.size
+    assert p_chun.database.size == size0
+    np.testing.assert_allclose(np.asarray(p_chun.database.Xtrain),
+                               np.asarray(p_host.database.Xtrain),
+                               rtol=1e-12)
+
+    for _ in range(n):
+        p_host.update()
+    n_acq = p_chun.run_steps_gp_chunked(n)
+
+    # identical acquisition decisions
+    assert n_acq > 0
+    assert p_chun.database.size == p_host.database.size == size0 + n_acq
+    np.testing.assert_allclose(np.asarray(p_chun.database._Xtrain),
+                               np.asarray(p_host.database._Xtrain),
+                               rtol=1e-6, atol=1e-12)
+
+    # identical BFGS refits (same data, same start, same optimizer)
+    for mh, mc in ((p_host.pressure, p_chun.pressure),
+                   (p_host.wall_stress_xz, p_chun.wall_stress_xz)):
+        for kk in mh.params:
+            np.testing.assert_allclose(np.asarray(mc.params[kk]),
+                                       np.asarray(mh.params[kk]),
+                                       rtol=1e-5, atol=1e-8)
+        assert mc._pause == mh._pause
+
+    assert p_chun.step == p_host.step == n
+    np.testing.assert_allclose(p_chun.q, p_host.q, rtol=1e-6, atol=1e-10)
+
+
+def test_chunked_no_al_matches_fused(tmp_path):
+    """Loose tolerance: no acquisitions; the chunked run degenerates to
+    pure compiled stepping and matches the host fused path."""
+    n = 3
+
+    p_host = Problem.from_string(_sim(tmp_path, "host2", 1.5, "False"))
+    p_host._pre_run()
+    p_chun = Problem.from_string(_sim(tmp_path, "chun2", 1.5, "False"))
+    p_chun._pre_run()
+
+    for _ in range(n):
+        p_host.update()
+    n_acq = p_chun.run_steps_gp_chunked(n)
+
+    assert n_acq == 0
+    assert p_chun.database.size == p_host.database.size
+    assert p_chun.step == p_host.step == n
+    np.testing.assert_allclose(p_chun.q, p_host.q, rtol=1e-9, atol=1e-11)
+
+
+def test_chunked_pause_budget(tmp_path):
+    """max_steps=1 with an unreachably tight tolerance: the budget runs
+    out, the surrogate pauses for pause_steps, and stepping continues —
+    same as the host 'missed uncertainty threshold' branch."""
+    n = 4
+
+    p_host = Problem.from_string(_sim(tmp_path, "host3", 1.e-9, "True",
+                                      max_steps=1))
+    p_host._pre_run()
+    p_chun = Problem.from_string(_sim(tmp_path, "chun3", 1.e-9, "True",
+                                      max_steps=1))
+    p_chun._pre_run()
+
+    for _ in range(n):
+        p_host.update()
+    n_acq = p_chun.run_steps_gp_chunked(n)
+
+    assert p_chun.database.size == p_host.database.size
+    assert n_acq == p_host.database.size - 4
+    assert p_chun.pressure._pause == p_host.pressure._pause
+    assert p_chun.wall_stress_xz._pause == p_host.wall_stress_xz._pause
+    np.testing.assert_allclose(p_chun.q, p_host.q, rtol=1e-6, atol=1e-10)
