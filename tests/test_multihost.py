@@ -24,7 +24,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
+# bounded by the workers' communicate(timeout=540) below — no plugin mark
 def test_two_process_sharded_equals_serial():
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "multihost_worker.py")
