@@ -122,12 +122,68 @@ def spectral_multiply_t(p, w_full_t, scale=1.):
     (e.g. an under-relaxation factor) folds into the spectral product so
     it costs nothing.  The inverse runs through the forward transform via
     ifft(X) = conj(fft(conj(X)))/n.
+
+    For 2D ``p`` with an even row count the real-input half-spectrum path
+    (`_spectral_multiply_real`) runs instead — identical result, half the
+    FFT work.
     """
     nx, ny = p.shape[-2], p.shape[-1]
+    if p.ndim == 2 and nx % 2 == 0 and ny % 2 == 0:
+        return _spectral_multiply_real(p, w_full_t, scale)
     cdtype = jnp.complex128 if p.dtype == jnp.float64 else jnp.complex64
     S_t = _fft2_t(p.astype(cdtype))
     V_t = (S_t * (w_full_t * (scale / (nx * ny)))).conj()
     return _fft2_t(V_t).real
+
+
+def _spectral_multiply_real(p, w_full_t, scale):
+    """Half-spectrum convolution of a real 2D field (rfft2 semantics).
+
+    Exploits both real-input symmetries that the complex path wastes:
+
+    - the y-axis passes transform PACKED ROW PAIRS ``p[2j] + i p[2j+1]``
+      (and unpack via the Hermitian split), so they run on nx/2 rows;
+    - after the y transform the spectrum is Hermitian in k, so the x-axis
+      passes only touch the ny/2+1 non-redundant columns.
+
+    Net: the four axis passes of the convolution cost half of the complex
+    path.  Requires even nx, ny (all production ghost-inclusive sizes are
+    even) and a ``q -> -q``-even real ``w`` — the same symmetry the
+    complex path already assumes for a real result.
+    """
+    nx, ny = p.shape
+    kh = ny // 2 + 1
+    zero = jnp.zeros((), p.dtype)
+    inv_n = scale / (nx * ny)
+
+    # forward y on packed row pairs; unpack to the half spectrum
+    z = lax.complex(p[0::2, :], p[1::2, :])
+    Z = _fft_last(z, ny)
+    idx = (-np.arange(kh)) % ny
+    Zh = Z[:, :kh]
+    Zr = jnp.conj(Z[:, idx])
+    F_even = 0.5 * (Zh + Zr)
+    F_odd = lax.complex(zero, -0.5 * jnp.ones((), p.dtype)) * (Zh - Zr)
+    F = jnp.stack([F_even, F_odd], axis=1).reshape(nx, kh)
+
+    # forward x on the kh non-redundant columns (transposed layout)
+    G = _fft_last(jnp.swapaxes(F, -1, -2), nx)        # G[k, i] = S[i, k]
+    V = G * (w_full_t[:kh, :] * inv_n).astype(p.dtype)
+
+    # inverse x (via conj-forward-conj), back to row-major half spectra
+    U = jnp.conj(_fft_last(jnp.conj(V), nx))
+    Uh = jnp.swapaxes(U, -1, -2)                      # (nx, kh), Hermitian in k
+
+    # pack output row pairs, extend k to the full ring, inverse y
+    A, B = Uh[0::2, :], Uh[1::2, :]
+    iB = lax.complex(-B.imag, B.real)
+    head = A + iB                                     # k = 0 .. ny/2
+    tailA = jnp.conj(A[:, 1:ny - kh + 1][:, ::-1])
+    tailB = jnp.conj(B[:, 1:ny - kh + 1][:, ::-1])
+    tail = tailA + lax.complex(-tailB.imag, tailB.real)
+    Zf = jnp.concatenate([head, tail], axis=-1)
+    zo = jnp.conj(_fft_last(jnp.conj(Zf), ny))
+    return jnp.stack([zo.real, zo.imag], axis=1).reshape(nx, ny)
 
 
 def spectral_multiply(p, w_full):

@@ -53,6 +53,40 @@ def test_spectral_multiply_matches_rfft_path(shape):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
 
 
+@pytest.mark.parametrize("shape", [(54, 38), (102, 102), (36, 34),
+                                   (64, 64)])
+def test_real_halfspectrum_equals_complex_path(shape):
+    """The even-size real (rfft2-style) path equals the complex path."""
+    rng = np.random.default_rng(11)
+    p = rng.standard_normal(shape)
+    G = rng.standard_normal(shape)
+    Gs = 0.5 * (G + np.roll(G[::-1, ::-1], (1, 1), (0, 1)))
+    w_t = jnp.asarray(np.fft.fft2(Gs).real.T)
+
+    got = np.asarray(specfft._spectral_multiply_real(jnp.asarray(p), w_t,
+                                                     0.37))
+    # complex reference: batch dim of 1 forces the p.ndim == 2 dispatch off
+    ref = np.asarray(specfft.spectral_multiply_t(jnp.asarray(p)[None], w_t,
+                                                 0.37))[0]
+    assert np.abs(got - ref).max() <= 1e-12 * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("shape", [(19, 19), (37, 26), (38, 27)])
+def test_odd_sizes_fall_back_to_complex(shape):
+    """Odd axes (no row pairing / half spectrum) still produce the right
+    convolution through the complex fallback."""
+    rng = np.random.default_rng(13)
+    p = rng.standard_normal(shape)
+    G = rng.standard_normal(shape)
+    Gs = 0.5 * (G + np.roll(G[::-1, ::-1], (1, 1), (0, 1)))
+    w = np.fft.fft2(Gs).real
+
+    ref = 0.7 * np.fft.ifft2(np.fft.fft2(p) * w).real
+    got = np.asarray(specfft.spectral_multiply(jnp.asarray(p),
+                                               jnp.asarray(w)) * 0.7)
+    assert np.abs(got - ref).max() <= 1e-11 * np.abs(ref).max()
+
+
 def test_periodic_halfspace_mixed_equals_native():
     """1026-point periodic kernel (mixed-radix) vs a hand-built rfft2 path."""
     from gapflow_tpu.elastic import PeriodicHalfSpace
