@@ -293,12 +293,17 @@ def sanitize_properties(d):
             out["thinning"][key] = float(d["thinning"].get(key, default))
 
     if "elastic" in d:
+        fft_grid = str(d["elastic"].get("fft_grid", "ghost"))
+        assert fft_grid in ("ghost", "interior"), \
+            "elastic: fft_grid must be 'ghost' (reference parity) or " \
+            "'interior' (TPU-fast: FFT on the Nx x Ny interior grid)"
         out["elastic"] = {
             "enabled": True,
             "E": float(d["elastic"].get("E", 210e09)),
             "v": float(d["elastic"].get("v", 0.3)),
             "alpha_underrelax": float(d["elastic"].get("alpha_underrelax", 1e-03)),
             "n_images": int(d["elastic"].get("n_images", 10)),
+            "fft_grid": fft_grid,
         }
     else:
         out["elastic"] = {"enabled": False}

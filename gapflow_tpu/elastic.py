@@ -59,23 +59,30 @@ class PeriodicHalfSpace:
 
         # the ghost-inclusive parity grid (Nx+2 points) usually has a large
         # prime factor that cripples the native TPU FFT; route those sizes
-        # through the mixed-radix MXU path (full real-even spectrum)
+        # through the mixed-radix MXU path (full real-even spectrum).
+        # Even at smooth sizes the packed half-spectrum path beats the
+        # native rfft2 pair once the grid is large (measured crossover
+        # ~1M points on v5e: 0.78 vs 0.97 ms at 2048^2), so big even
+        # grids take it too.
         self._mixed = specfft.needs_mixed_radix((nx, ny))
+        self._spec = self._mixed or (
+            nx % 2 == 0 and ny % 2 == 0 and nx * ny > 2 ** 20)
         qy_full = 2. * np.pi * np.fft.fftfreq(ny, d=Ly / ny)
-        qy = qy_full if self._mixed else \
+        qy = qy_full if self._spec else \
             2. * np.pi * np.fft.rfftfreq(ny, d=Ly / ny)
         q = np.sqrt(qx[:, None] ** 2 + qy[None, :] ** 2)
         with np.errstate(divide="ignore"):
             weights = 2. / (young * q)
         weights[0, 0] = 0.  # stiffness_q0 = 0: zero-mean response
         self._weights = jnp.asarray(weights)
-        if self._mixed:
+        if self._spec:
             self._weights_t = jnp.asarray(np.ascontiguousarray(weights.T))
         self._ny = ny
+        self._shape = (nx, ny)
 
     def deformation(self, p):
         """Displacement field for pressure field p (positive p -> positive u)."""
-        if self._mixed:
+        if self._spec:
             return specfft.spectral_multiply_t(
                 p, self._weights_t.astype(p.dtype))
         return jnp.fft.irfft2(jnp.fft.rfft2(p) * self._weights.astype(p.dtype),
@@ -110,9 +117,12 @@ class FreeHalfSpace:
         # the 2Nx x 2Ny padded grid inherits the parity grid's large prime
         # factors (e.g. 2052 = 2^2*3^3*19) — same mixed-radix escape as the
         # periodic kernel.  G is real and even under index negation on the
-        # padded torus, so its full spectrum is real.
+        # padded torus, so its full spectrum is real.  Large smooth padded
+        # grids also take the packed half-spectrum path (same crossover
+        # as PeriodicHalfSpace).
         self._mixed = specfft.needs_mixed_radix((2 * nx, 2 * ny))
-        if self._mixed:
+        self._spec = self._mixed or 4 * nx * ny > 2 ** 20
+        if self._spec:
             Ghat = np.fft.fft2(G).real
             self._Ghat = jnp.asarray(Ghat)
             self._Ghat_t = jnp.asarray(np.ascontiguousarray(Ghat.T))
@@ -124,7 +134,7 @@ class FreeHalfSpace:
     def deformation(self, p):
         nx, ny = self._shape
         ppad = jnp.zeros(self._padded, dtype=p.dtype).at[:nx, :ny].set(p)
-        if self._mixed:
+        if self._spec:
             u = specfft.spectral_multiply_t(ppad, self._Ghat_t.astype(p.dtype))
         else:
             u = jnp.fft.irfft2(jnp.fft.rfft2(ppad) * self._Ghat,
@@ -140,16 +150,31 @@ class ElasticDeformation:
     the semi-periodic 1D line-contact special case.
     """
 
-    def __init__(self, E, v, alpha_underrelax, grid, n_images):
+    def __init__(self, E, v, alpha_underrelax, grid, n_images,
+                 fft_grid="ghost"):
         self.area_per_cell = grid["dx"] * grid["dy"]
-        # ghost-INCLUSIVE grid points with INTERIOR physical sizes — the
-        # reference's own convention (GaPFlow/topography.py:357: Nx+2
-        # points, physical_sizes=(Lx, Ly)), reproduced verbatim for
-        # parity: the elastic kernel cell size is Lx/(Nx+2), slightly
-        # smaller than the solver's dx = Lx/Nx, exactly as upstream
-        nx, ny = grid["Nx"] + 2, grid["Ny"] + 2
+        # fft_grid="ghost" (default): ghost-INCLUSIVE grid points with
+        # INTERIOR physical sizes — the reference's own convention
+        # (GaPFlow/topography.py:357: Nx+2 points, physical_sizes=(Lx, Ly)),
+        # reproduced verbatim for parity: the elastic kernel cell size is
+        # Lx/(Nx+2), slightly smaller than the solver's dx = Lx/Nx,
+        # exactly as upstream.
+        #
+        # fft_grid="interior" (TPU-fast opt-in): the FFT runs on the
+        # Nx x Ny INTERIOR grid — the physically consistent domain (cell
+        # size exactly dx) — whose power-of-two production sizes keep the
+        # native TPU FFT on its fast path (the ghost-inclusive Nx+2
+        # usually carries a large prime factor; the mixed-radix escape is
+        # ~3x slower than a smooth-size rfft2).  The ghost ring of the
+        # returned deformation is filled per-axis: periodic wrap on
+        # periodic axes, edge replication otherwise.
+        self.fft_grid = fft_grid
+        if fft_grid == "interior":
+            nx, ny = grid["Nx"], grid["Ny"]
+        else:
+            nx, ny = grid["Nx"] + 2, grid["Ny"] + 2
         self.alpha_underrelax = alpha_underrelax
-        self.u_prev = jnp.zeros((nx, ny))
+        self.u_prev = jnp.zeros((grid["Nx"] + 2, grid["Ny"] + 2))
 
         perX = grid["bc_xE_P"][0]
         perY = grid["bc_yS_P"][0]
@@ -182,7 +207,25 @@ class ElasticDeformation:
             self.periodicity = "none"
             self._hs = FreeHalfSpace((nx, ny), young_effective, sizes)
 
-        self._deform = jax.jit(self._hs.deformation)
+        self._pad_modes = ("wrap" if perX else "edge",
+                           "wrap" if perY else "edge")
+        self._deform = jax.jit(self.deformation_full)
+
+    def deformation_full(self, p):
+        """Traceable deformation of a ghost-inclusive pressure field.
+
+        ghost mode: the half-space acts on the full (Nx+2, Ny+2) array.
+        interior mode: the half-space acts on the interior; the ghost
+        ring of the result is wrap- (periodic axis) or edge- (else)
+        filled, consistent with how ghost topography values enter the
+        solver only through gradients at near-edge interior cells.
+        """
+        if self.fft_grid != "interior":
+            return self._hs.deformation(p)
+        u = self._hs.deformation(p[1:-1, 1:-1])
+        mx, my = self._pad_modes
+        u = jnp.pad(u, ((1, 1), (0, 0)), mode=mx)
+        return jnp.pad(u, ((0, 0), (1, 1)), mode=my)
 
     def get_deformation(self, p):
         """Elastic deformation for pressure p; positive p opens the gap."""
@@ -200,14 +243,14 @@ class ElasticDeformation:
         """Centered real-space Green's function (introspection helper)."""
         if isinstance(self._hs, FreeHalfSpace):
             Ghat = np.asarray(self._hs._Ghat)
-            if self._hs._mixed:   # full real spectrum, not rfft layout
+            if self._hs._spec:   # full real spectrum, not rfft layout
                 G = np.fft.ifft2(Ghat).real
             else:
                 G = np.fft.irfft2(Ghat, s=self._hs._padded)
         else:
-            shape = (self.u_prev.shape[0], self.u_prev.shape[1])
+            shape = self._hs._shape
             w_hat = np.asarray(self._hs._weights)
-            if self._hs._mixed:
+            if self._hs._spec:
                 G = np.fft.ifft2(w_hat).real
             else:
                 G = np.fft.irfft2(w_hat, s=shape)

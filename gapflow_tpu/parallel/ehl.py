@@ -56,7 +56,7 @@ def make_sharded_ehl_loop(problem, mesh, deform_every=1):
 
     cfg = problem._solver_cfg
     ed = problem.topo.ElasticDeformation
-    hs_deform = ed._hs.deformation
+    hs_deform = ed.deformation_full     # ghost- or interior-grid FFT
     alpha = ed.alpha_underrelax
     shift_reference = ed.periodicity in ("half", "none")
 

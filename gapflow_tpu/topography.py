@@ -170,6 +170,7 @@ class Topography:
                 alpha_underrelax=prop["elastic"]["alpha_underrelax"],
                 grid=grid,
                 n_images=prop["elastic"]["n_images"],
+                fft_grid=prop["elastic"].get("fft_grid", "ghost"),
             )
         else:
             self.elastic = False

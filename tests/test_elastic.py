@@ -84,6 +84,99 @@ def test_underrelaxation_fixed_point():
     np.testing.assert_allclose(u, u_direct, rtol=1e-6, atol=1e-9)
 
 
+def test_interior_fft_grid_periodic():
+    """fft_grid='interior': exact cosine response on the interior grid,
+    ghost ring wrap-filled, and agreement with the (parity) ghost mode
+    to the O(1/N) grid-convention difference."""
+    grid = {
+        "dx": 0.01, "dy": 0.01, "Nx": 32, "Ny": 32,
+        "Lx": 0.32, "Ly": 0.32,
+        "bc_xE_P": [True] * 3, "bc_yS_P": [True] * 3,
+    }
+    E = 1e4
+    ed_i = ElasticDeformation(E=E, v=0.0, alpha_underrelax=1.0,
+                              grid=grid, n_images=0, fft_grid="interior")
+    ed_g = ElasticDeformation(E=E, v=0.0, alpha_underrelax=1.0,
+                              grid=grid, n_images=0)
+    assert ed_i.periodicity == "full"
+
+    # exact spectral identity on the interior grid: u = 2 p / (E* q1)
+    x = (np.arange(32) + 0.5) * 0.01
+    q1 = 2 * np.pi / 0.32
+    p_int = np.cos(q1 * x)[:, None] * np.ones((1, 32))
+    p_full = np.pad(p_int, 1, mode="wrap")
+    u = np.asarray(ed_i.get_deformation(p_full))
+    np.testing.assert_allclose(u[1:-1, 1:-1], 2. / (E * q1) * p_int,
+                               rtol=1e-10, atol=1e-16)
+    # ghost ring is the periodic wrap of the interior
+    np.testing.assert_allclose(u, np.pad(u[1:-1, 1:-1], 1, mode="wrap"))
+
+    # both conventions solve the same physics; they differ only through
+    # the ghost grid's Lx/(Nx+2) cell size -> O(1/N) relative
+    u_g = np.asarray(ed_g.get_deformation(p_full))
+    scale = np.abs(u_g).max()
+    assert np.abs(u[1:-1, 1:-1] - u_g[1:-1, 1:-1]).max() / scale < 0.15
+
+
+def test_interior_fft_grid_ehl_loop_consistency():
+    """The on-device EHL loop under fft_grid='interior' converges to the
+    same deformation as the ghost (parity) mode within the grid-convention
+    difference."""
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.ehl import make_ehl_loop
+
+    base = """
+options:
+    output: data/ehl_interior
+    write_freq: 100000
+    silent: True
+grid:
+    dx: 1.e-5
+    dy: 1.e-5
+    Nx: 64
+    Ny: 64
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 1000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-03
+{extra}
+"""
+    us = {}
+    for mode, extra in (("ghost", ""),
+                        ("interior", "        fft_grid: interior")):
+        problem = Problem.from_string(base.format(extra=extra))
+        problem._pre_run()
+        assert problem.topo.ElasticDeformation.fft_grid == mode
+        loop = make_ehl_loop(problem, use_pallas=False)
+        u0 = np.zeros_like(np.asarray(problem.topo.deformation))
+        _, u = loop(problem.q, u0, problem.dt, 200)
+        us[mode] = np.asarray(u)
+
+    scale = np.abs(us["ghost"]).max()
+    assert scale > 0
+    assert np.abs(us["interior"] - us["ghost"]).max() / scale < 0.1
+
+
 def test_semi_periodic_1d_line_contact():
     grid = {
         "dx": 0.01, "dy": 1.0, "Nx": 64, "Ny": 1,
