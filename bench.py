@@ -107,6 +107,70 @@ def make_trajectory_steps(cfg, n):
     return run
 
 
+def bench_ehl_step(nx=1024, ny=1024):
+    """Per-step-deformation EHL throughput (reference protocol: the
+    elastic FFT runs every fluid step).  Default-parity ghost-grid FFT."""
+    import jax.numpy as jnp
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.ehl import make_ehl_loop
+
+    sim = f"""
+options:
+    output: data/bench_ehl
+    write_freq: 1000000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {nx}
+    Ny: {ny}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 100000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-04
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    loop = make_ehl_loop(problem, deform_every=1)
+    q0 = jnp.asarray(problem.q)
+    u0 = jnp.zeros_like(jnp.asarray(problem.topo.deformation))
+    dt = problem.dt
+
+    def run(n):
+        q, u = loop(q0, u0, dt, n)
+        float(jnp.sum(u))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q, u = loop(q0, u0, dt, n)
+            float(jnp.sum(u))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    per_step = (run(120) - run(20)) / 100
+    return nx * ny / per_step
+
+
 def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     """GP refit + rank-1 active-learning update latencies at N_train.
 
@@ -183,6 +247,7 @@ def main():
 
     throughput = bench_fv_step()
     fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
+    ehl_1024 = bench_ehl_step()
     gp_refit_s, gp_update_s = bench_gp_refit()
 
     # correctness on the SAME backend as the throughput numbers: f32
@@ -198,6 +263,7 @@ def main():
         "unit": "cell-updates/s",
         "vs_baseline": float(throughput / fv_target),
         "fv_2048_cu_s": float(fv_2048),
+        "ehl_1024_cu_s": float(ehl_1024),
         "gp_refit_ms": float(gp_refit_s * 1e3),
         "gp_al_update_ms": float(gp_update_s * 1e3),
         "gp_vs_target": float(gp_target / gp_refit_s),
