@@ -31,7 +31,8 @@ def _topo_from_deformation(h_undeformed, u, dx, dy):
     return jnp.stack([h, dh_dx, dh_dy, u])
 
 
-def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
+def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1,
+                  statics_in_kernel=True):
     """Build ``loop(q, u_prev, dt, n_steps) -> (q, u)`` for an elastic Problem.
 
     q and u are ghost-inclusive arrays; the Problem supplies the half-space
@@ -61,13 +62,30 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
     nx, ny = problem.grid["Nx"], problem.grid["Ny"]
 
     from ..ops import make_pallas_step, make_pallas_loop, pallas_supported
+    from ..ops.stencil import (make_pallas_ehl_step,
+                               make_pallas_ehl_loop_step, _fully_periodic,
+                               _reassemble)
     if use_pallas == "auto":
         use_pallas = pallas_supported(cfg, ny)
 
     K = int(deform_every)
     alpha_K = 1. - (1. - alpha) ** K
 
-    if use_pallas:
+    ehl_kernel = (use_pallas and statics_in_kernel and K == 1
+                  and _fully_periodic(cfg) and cfg.thinning is None)
+    if ehl_kernel:
+        # statics-in-kernel per-step path: the topography/statics rebuild
+        # (the dominant HBM cost of the reference protocol) happens inside
+        # the fused kernel from h_und + u; in f32 the kernel additionally
+        # carries the interior-only (q, q_lo) Kahan state and builds its
+        # own wrap halos, eliminating the per-step extension/reassembly
+        dtype = dtype or jnp.float32
+        comp = dtype == jnp.float32
+        if comp:
+            _estep6 = make_pallas_ehl_loop_step(cfg, nx, ny, dtype=dtype)
+        else:
+            _estep = make_pallas_ehl_step(cfg, nx, ny, dtype=dtype)
+    elif use_pallas:
         dtype = dtype or jnp.float32
         # f32 production needs Kahan-compensated accumulation CARRIED
         # across chunks (per-step increments near the EHL steady state
@@ -118,6 +136,54 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
     h_und = h_und.astype(dtype)
     extra_d = extra.astype(dtype)
 
+    if ehl_kernel and comp:
+        # interior-carry compensated loop: (q, q_lo) stays ghost-free
+        # between steps; the ghost ring is periodic wrap, so the pressure
+        # ring is the wrap of the interior pressure and the final state
+        # is reassembled once after the loop
+        h_und_int = h_und[1:-1, 1:-1]
+        ls_int = extra_d[0, 1:-1, 1:-1]
+        rdx2 = jnp.asarray(0.5 / cfg.dx, dtype)
+        rdy2 = jnp.asarray(0.5 / cfg.dy, dtype)
+
+        def _wrapv(v):
+            from ..ops.stencil import HALO_X
+            return jnp.concatenate([v[-HALO_X:], v, v[:HALO_X]], axis=0)
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def loop(q, u_prev, dt, n_steps):
+            q = jnp.asarray(q, dtype)
+            u_prev = jnp.asarray(u_prev, dtype)
+            dt = jnp.asarray(dt, dtype)
+
+            def body(i, carry):
+                q6, u = carry
+                u_eff = u - (u[0, 0] if shift_reference else 0.)
+                h_full_edge = h_und + u_eff        # only edge slices used
+                px = jnp.stack([
+                    (h_full_edge[2, 1:-1] - h_full_edge[0, 1:-1]) * rdx2,
+                    (h_full_edge[-1, 1:-1] - h_full_edge[-3, 1:-1]) * rdx2])
+                py = jnp.stack([
+                    _wrapv((h_full_edge[1:-1, 2]
+                            - h_full_edge[1:-1, 0]) * rdy2),
+                    _wrapv((h_full_edge[1:-1, -1]
+                            - h_full_edge[1:-1, -3]) * rdy2)], axis=1)
+                h_int = h_und_int + u_eff[1:-1, 1:-1]
+                q6 = _estep6(q6, h_int, ls_int, px, py, dt)
+
+                p = jnp.pad(eos_pressure(q6[0], prop),
+                            ((1, 1), (1, 1)), mode="wrap")
+                u_new = hs_deform(p.astype(u.dtype))
+                u = (1. - alpha_K) * u + alpha_K * u_new
+                return q6, u
+
+            q6_0 = jnp.concatenate(
+                [q[:, 1:-1, 1:-1], jnp.zeros_like(q[:, 1:-1, 1:-1])], 0)
+            q6, u = jax.lax.fori_loop(0, n_steps, body, (q6_0, u_prev))
+            return _reassemble(q, q6[:3]), u
+
+        return loop
+
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, u_prev, dt, n_steps):
         assert n_steps % K == 0, "n_steps must be divisible by deform_every"
@@ -127,12 +193,15 @@ def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1):
 
         def body(i, carry):
             q, lo, u = carry
-            topo = _topo_from_deformation(
-                h_und, u - (u[0, 0] if shift_reference else 0.),
-                cfg.dx, cfg.dy)
-            # note: h uses the reference-shifted deformation like the host
-            q, lo = fluid_chunk((q, lo), topo.astype(dtype), extra_d, dt,
-                                i * K)
+            u_eff = u - (u[0, 0] if shift_reference else 0.)
+            if ehl_kernel:
+                # topography/statics rebuilt inside the kernel
+                q = _estep(q, u_eff, h_und, extra_d, dt)
+            else:
+                topo = _topo_from_deformation(h_und, u_eff, cfg.dx, cfg.dy)
+                # note: h uses the reference-shifted deformation, as host
+                q, lo = fluid_chunk((q, lo), topo.astype(dtype), extra_d,
+                                    dt, i * K)
 
             p = eos_pressure(q[0], prop)
             if shift_reference:

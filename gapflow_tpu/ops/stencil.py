@@ -811,6 +811,320 @@ def _kernel_fused(cfg, bs, d0, d1, emit_delta,
         out_ref[2] = (c[sl] + q2_0[sl]) / 2.
 
 
+def _kernel_fused_ehl(cfg, bs, ny, n_strips, d0, d1, emit_delta,
+                      dt_ref, q_hbm, h_hbm, ls_hbm, px_hbm, py_hbm,
+                      out_ref, q_loc, h_loc, ls_loc, sems):
+    """Per-step EHL kernel (fully periodic layout): statics computed
+    IN-KERNEL from the extended gap height instead of being materialized
+    as an 8-channel array every step.
+
+    The EHL reference protocol rebuilds the topography every fluid step
+    (the deformation changes), so the statics production — the dominant
+    HBM cost of the per-step path — cannot be hoisted.  This kernel
+    DMAs 5 channels per strip (3 q + extended h + Ls) instead of 11
+    (3 q + 8 statics) and derives Hx, Hy and the factored statics in
+    VMEM.
+
+    Gradient semantics match core.ehl._topo_from_deformation exactly:
+    np.gradient central differences over the GHOST-INCLUSIVE height.
+    The extended-h layout wraps the interior, so rows/cols whose central
+    stencil reaches a ghost cell get PATCHED from precomputed values
+    (px: the two interior boundary rows of Hx; py: the two boundary
+    columns of Hy in extended row space) — O(perimeter) data computed
+    once per step in XLA from the ghost-inclusive height."""
+    i = pl.program_id(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    cp_q = pltpu.make_async_copy(
+        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
+    cp_h = pltpu.make_async_copy(
+        h_hbm.at[pl.ds(x0, rows), :], h_loc, sems.at[1])
+    cp_l = pltpu.make_async_copy(
+        ls_hbm.at[pl.ds(x0, rows), :], ls_loc, sems.at[2])
+    cp_q.start()
+    cp_h.start()
+    cp_l.start()
+    cp_q.wait()
+    cp_h.wait()
+    cp_l.wait()
+
+    dt = dt_ref[0]
+    H = h_loc[:]
+    Ls = ls_loc[:]
+
+    rdx2 = 0.5 / cfg.dx
+    rdy2 = 0.5 / cfg.dy
+    # central differences on the wrap-extended strip; the wrap across the
+    # strip's own edges only corrupts the outermost halo row, which the
+    # two passes never consume (they eat 2 of the 8 halo rows)
+    Hx = (pltpu.roll(H, rows - 1, axis=0) - pltpu.roll(H, 1, axis=0)) * rdx2
+    Hy = (pltpu.roll(H, ny - 1, axis=1) - pltpu.roll(H, 1, axis=1)) * rdy2
+
+    # rows whose x-stencil reaches a ghost row: interior rows 0 and nx-1,
+    # present as interior rows of the first/last strips AND as wrap-halo
+    # rows of the opposite strip
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, ny), 0)
+    px0 = px_hbm[0][None, :]      # np.gradient row for interior row 0
+    pxN = px_hbm[1][None, :]      # ... for interior row nx-1
+    first = i == 0
+    last = i == n_strips - 1
+    Hx = jnp.where(first & (ridx == HALO_X), px0, Hx)
+    Hx = jnp.where(first & (ridx == HALO_X - 1), pxN, Hx)
+    Hx = jnp.where(last & (ridx == HALO_X + bs - 1), pxN, Hx)
+    Hx = jnp.where(last & (ridx == HALO_X + bs), px0, Hx)
+
+    # columns whose y-stencil reaches a ghost col (every strip); py is
+    # stored (nx + 2*HALO_X, 2) so the strip slice is lane-contiguous
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (rows, ny), 1)
+    pyl = py_hbm[pl.ds(x0, rows), 0:1]
+    pyr = py_hbm[pl.ds(x0, rows), 1:2]
+    Hy = jnp.where(cidx == 0, pyl, Hy)
+    Hy = jnp.where(cidx == ny - 1, pyr, Hy)
+
+    ic = 1. / (4. * Ls + H)
+    st = (Hx, Hy, H, 2. * Ls, 1. / H, ic,
+          2. * (3. * Ls + H) * ic * ic, 6. * Ls)
+
+    q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
+    a, b, c = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
+
+    sl = slice(HALO_X, HALO_X + bs)
+    if emit_delta:
+        u0, u1, u2 = _one_pass_fused(cfg, a, b, c, st, dt, d1,
+                                     return_upd=True)
+        out_ref[0] = ((a[sl] - q0_0[sl]) - u0[sl]) / 2.
+        out_ref[1] = ((b[sl] - q1_0[sl]) - u1[sl]) / 2.
+        out_ref[2] = ((c[sl] - q2_0[sl]) - u2[sl]) / 2.
+    else:
+        a, b, c = _one_pass_fused(cfg, a, b, c, st, dt, d1)
+        out_ref[0] = (a[sl] + q0_0[sl]) / 2.
+        out_ref[1] = (b[sl] + q1_0[sl]) / 2.
+        out_ref[2] = (c[sl] + q2_0[sl]) / 2.
+
+
+@lru_cache(maxsize=16)
+def make_pallas_ehl_step(cfg, nx, ny, bs=None, dtype=jnp.float32,
+                         emit_delta=False):
+    """Per-step EHL driver around :func:`_kernel_fused_ehl`.
+
+    ``step(q, u, h_und, extra, dt) -> q_new`` (or the compensated
+    increment when ``emit_delta``) on ghost-inclusive arrays; the gap
+    topography is rebuilt from ``h_und + u`` inside the kernel.  Fully
+    periodic configs without shear thinning only (the EHL production
+    case); callers fall back to make_pallas_step + XLA statics
+    otherwise."""
+    if not (_fully_periodic(cfg) and cfg.thinning is None
+            and pallas_supported(cfg, ny)):
+        raise ValueError("EHL statics-in-kernel path requires a fully "
+                         "periodic, non-thinning configuration")
+    if bs is None:
+        bs = _auto_bs(nx, ny)
+    bs = min(bs, nx)
+    assert nx % bs == 0 and bs % 8 == 0
+    grid = (nx // bs,)
+    rows = bs + 2 * HALO_X
+    d0, d1 = mc_directions(cfg.MC_order)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    kern = partial(_kernel_fused_ehl, cfg, bs, ny, grid[0], d0, d1,
+                   emit_delta)
+
+    def call(q_ext, h_ext, ls_ext, px, py, dt):
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((3, bs, ny), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, nx, ny), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((3, rows, ny), dtype),
+                pltpu.VMEM((rows, ny), dtype),
+                pltpu.VMEM((rows, ny), dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            grid=grid,
+            compiler_params=params,
+        )(dt, q_ext, h_ext, ls_ext, px, py)
+
+    rdx2, rdy2 = 0.5 / cfg.dx, 0.5 / cfg.dy
+
+    def _ext1(inner):
+        return jnp.concatenate([inner[-HALO_X:], inner,
+                                inner[:HALO_X]], axis=0)
+
+    @jax.jit
+    def step(q, u, h_und, extra, dt):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        h_full = (h_und + u).astype(dtype)
+        hi = h_full[1:-1, 1:-1]
+        h_ext = _ext1(hi)
+        ls_ext = _ext1(extra.astype(dtype)[0, 1:-1, 1:-1])
+        # np.gradient rows/cols whose central stencil uses ghost height
+        px = jnp.stack([(h_full[2, 1:-1] - h_full[0, 1:-1]) * rdx2,
+                        (h_full[-1, 1:-1] - h_full[-3, 1:-1]) * rdx2])
+        py = jnp.stack([_ext1((h_full[1:-1, 2] - h_full[1:-1, 0]) * rdy2),
+                        _ext1((h_full[1:-1, -1] - h_full[1:-1, -3]) * rdy2)],
+                       axis=1)
+        q_ext = _extend_interior(q[:, 1:-1, 1:-1])
+        q_int = call(q_ext, h_ext, ls_ext, px, py, dt)
+        if emit_delta:
+            return q_int
+        return _reassemble(q, q_int)
+
+    return step
+
+
+def _kernel_fused_ehl6(cfg, bs, nx, ny, n_strips, d0, d1,
+                       dt_ref, q_hbm, h_hbm, ls_hbm, px_hbm, py_hbm,
+                       out_ref, q_loc, h_loc, ls_loc, sems):
+    """Compensated statics-in-kernel EHL step on an INTERIOR-only carry.
+
+    The (q, q_lo) 6-channel state lives ghost-free in HBM; the kernel
+    builds its own periodic wrap halos with split DMAs (the first/last
+    strips read their wrap rows from the opposite end of the array), so
+    the per-step XLA extension/reassembly passes of the ghost-inclusive
+    layout disappear entirely.  Statics come from the interior gap
+    height exactly as in :func:`_kernel_fused_ehl`, and the Kahan
+    two-sum of the step increment happens in-register (same arithmetic
+    and order as make_pallas_loop's compensated path)."""
+    i = pl.program_id(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    def wrap_copy(hbm, loc, nch, sem0):
+        """Strip rows [x0-HALO, x0+bs+HALO) of an (nch, nx, ny) interior
+        array, wrapped at the array ends, into loc (nch, rows, ny)."""
+        def at(dst_lo, src_lo, n, sem):
+            if nch == 1:
+                cp = pltpu.make_async_copy(
+                    hbm.at[pl.ds(src_lo, n), :],
+                    loc.at[pl.ds(dst_lo, n), :], sems.at[sem])
+            else:
+                cp = pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(src_lo, n), :],
+                    loc.at[:, pl.ds(dst_lo, n), :], sems.at[sem])
+            cp.start()
+            return cp
+
+        if n_strips == 1:
+            return [at(0, nx - HALO_X, HALO_X, sem0),
+                    at(HALO_X, 0, nx, sem0 + 1),
+                    at(HALO_X + nx, 0, HALO_X, sem0 + 2)]
+        # lo/hi parts wrap at the array ends for the first/last strips
+        # (both branches are multiples of 8: x0, bs, HALO_X, nx all are)
+        lo_src = pl.multiple_of(
+            jnp.where(i == 0, nx - HALO_X, x0 - HALO_X), 8)
+        hi_src = pl.multiple_of(jnp.where(i == n_strips - 1, 0, x0 + bs), 8)
+        return [at(0, lo_src, HALO_X, sem0),
+                at(HALO_X, x0, bs, sem0 + 1),
+                at(HALO_X + bs, hi_src, HALO_X, sem0 + 2)]
+
+    cps = (wrap_copy(q_hbm, q_loc, 6, 0) + wrap_copy(h_hbm, h_loc, 1, 3)
+           + wrap_copy(ls_hbm, ls_loc, 1, 6))
+    for cp in cps:
+        cp.wait()
+
+    dt = dt_ref[0]
+    H = h_loc[:]
+    Ls = ls_loc[:]
+
+    rdx2 = 0.5 / cfg.dx
+    rdy2 = 0.5 / cfg.dy
+    Hx = (pltpu.roll(H, rows - 1, axis=0) - pltpu.roll(H, 1, axis=0)) * rdx2
+    Hy = (pltpu.roll(H, ny - 1, axis=1) - pltpu.roll(H, 1, axis=1)) * rdy2
+
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, ny), 0)
+    px0 = px_hbm[0][None, :]
+    pxN = px_hbm[1][None, :]
+    first = i == 0
+    last = i == n_strips - 1
+    Hx = jnp.where(first & (ridx == HALO_X), px0, Hx)
+    Hx = jnp.where(first & (ridx == HALO_X - 1), pxN, Hx)
+    Hx = jnp.where(last & (ridx == HALO_X + bs - 1), pxN, Hx)
+    Hx = jnp.where(last & (ridx == HALO_X + bs), px0, Hx)
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (rows, ny), 1)
+    pyl = py_hbm[pl.ds(x0, rows), 0:1]
+    pyr = py_hbm[pl.ds(x0, rows), 1:2]
+    Hy = jnp.where(cidx == 0, pyl, Hy)
+    Hy = jnp.where(cidx == ny - 1, pyr, Hy)
+
+    ic = 1. / (4. * Ls + H)
+    st = (Hx, Hy, H, 2. * Ls, 1. / H, ic,
+          2. * (3. * Ls + H) * ic * ic, 6. * Ls)
+
+    q0, q1, q2 = q_loc[0], q_loc[1], q_loc[2]
+    l0, l1, l2 = q_loc[3], q_loc[4], q_loc[5]
+    a, b, c = _one_pass_fused(cfg, q0, q1, q2, st, dt, d0)
+    u0, u1, u2 = _one_pass_fused(cfg, a, b, c, st, dt, d1,
+                                 return_upd=True)
+
+    sl = slice(HALO_X, HALO_X + bs)
+    for k, (q, pred, u, lo) in enumerate(((q0, a, u0, l0), (q1, b, u1, l1),
+                                          (q2, c, u2, l2))):
+        delta = ((pred - q) - u) / 2.
+        y = delta + lo
+        t = q + y
+        out_ref[k] = t[sl]
+        out_ref[3 + k] = (y - (t - q))[sl]
+
+
+@lru_cache(maxsize=16)
+def make_pallas_ehl_loop_step(cfg, nx, ny, bs=None, dtype=jnp.float32):
+    """Compensated interior-carry EHL step around _kernel_fused_ehl6.
+
+    ``step(q6, h_int, ls_int, px, py, dt) -> q6`` with q6 the interior
+    (6, nx, ny) (q, q_lo) state; h_int the interior gap height; px/py
+    the ghost-stencil gradient patches (see make_pallas_ehl_step)."""
+    if not (_fully_periodic(cfg) and cfg.thinning is None
+            and pallas_supported(cfg, ny)):
+        raise ValueError("EHL statics-in-kernel path requires a fully "
+                         "periodic, non-thinning configuration")
+    if bs is None:
+        bs = _auto_bs(nx, ny)
+    bs = min(bs, nx)
+    assert nx % bs == 0 and bs % 8 == 0
+    grid = (nx // bs,)
+    rows = bs + 2 * HALO_X
+    d0, d1 = mc_directions(cfg.MC_order)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    kern = partial(_kernel_fused_ehl6, cfg, bs, nx, ny, grid[0], d0, d1)
+
+    @jax.jit
+    def step(q6, h_int, ls_int, px, py, dt):
+        dt = jnp.asarray(dt, dtype)[None]
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((6, bs, ny), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((6, nx, ny), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((6, rows, ny), dtype),
+                pltpu.VMEM((rows, ny), dtype),
+                pltpu.VMEM((rows, ny), dtype),
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+            grid=grid,
+            compiler_params=params,
+        )(dt, q6, h_int, ls_int, px, py)
+
+    return step
+
+
 def _kernel_fused_ext(cfg, bs, nx, d0, d1,
                       dt_ref, q_hbm, st_hbm, out_hbm,
                       q_loc, st_loc, out_loc, sems):

@@ -106,3 +106,184 @@ def test_ehl_loop_deform_every_same_fixed_point():
     # transient (~K/n relative); both converge to the same fixed point
     scale = max(np.abs(np.asarray(u1)).max(), 1e-30)
     assert np.abs(np.asarray(u5) - np.asarray(u1)).max() / scale < 0.06
+
+
+def test_ehl_statics_in_kernel_matches_xla_loop():
+    """The statics-in-kernel per-step EHL path (make_pallas_ehl_step,
+    interpret mode) matches the XLA EHL loop on a periodic 2D journal."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sim2d = """
+options:
+    output: data/ehl_kernel
+    write_freq: 100000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: 32
+    Ny: 128
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 100000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-03
+"""
+    n = 40
+    import jax.numpy as jnp
+
+    p64 = Problem.from_string(sim2d)
+    p64._pre_run()
+    u0 = np.zeros_like(np.asarray(p64.topo.deformation))
+    loop64 = make_ehl_loop(p64, use_pallas=False)
+    q64, u64 = loop64(p64.q, u0, p64.dt, n)
+    q64, u64 = np.asarray(q64), np.asarray(u64)
+
+    p32 = Problem.from_string(sim2d)
+    p32._pre_run()
+    loop32 = make_ehl_loop(p32, use_pallas=False, dtype=np.float32)
+    q32, _ = loop32(np.asarray(p32.q, np.float32), u0.astype(np.float32),
+                    p32.dt, n)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil.make_pallas_ehl_step.cache_clear()
+        stencil.make_pallas_step.cache_clear()
+        stencil._make_call.cache_clear()
+        # f64, SAME kernel family both sides: statics-in-kernel loop vs
+        # the make_pallas_step + XLA-statics loop -> rounding level.
+        # (Neither matches the XLA det loop to f64 precision: the Pallas
+        # family wraps interior statics into the ghost slots while the
+        # det path keeps the one-sided np.gradient ghost values — an
+        # O(dx^2) edge-convention difference shared by all kernels.)
+        p_k = Problem.from_string(sim2d)
+        p_k._pre_run()
+        loop_k64 = make_ehl_loop(p_k, use_pallas=True, dtype=jnp.float64)
+        q_k64, u_k64 = loop_k64(p_k.q, u0, p_k.dt, n)
+        q_k64, u_k64 = np.asarray(q_k64), np.asarray(u_k64)
+
+        p_o = Problem.from_string(sim2d)
+        p_o._pre_run()
+        loop_o64 = make_ehl_loop(p_o, use_pallas=True, dtype=jnp.float64,
+                                 statics_in_kernel=False)
+        q_o64, u_o64 = loop_o64(p_o.q, u0, p_o.dt, n)
+        q_o64, u_o64 = np.asarray(q_o64), np.asarray(u_o64)
+
+        # f32 compensated kernel loop: must track the f64 truth at least
+        # as closely as the plain-f32 XLA loop does
+        p_k2 = Problem.from_string(sim2d)
+        p_k2._pre_run()
+        loop_k32 = make_ehl_loop(p_k2, use_pallas=True)
+        q_k32, _ = loop_k32(np.asarray(p_k2.q, np.float32),
+                            u0.astype(np.float32), p_k2.dt, n)
+        q_k32 = np.asarray(q_k32)
+        stencil.make_pallas_ehl_step.cache_clear()
+        stencil.make_pallas_step.cache_clear()
+        stencil._make_call.cache_clear()
+
+    scale_q = np.abs(q64).reshape(3, -1).max(1)[:, None, None]
+    scale_q = np.maximum(scale_q, 1e-6 * scale_q.max())
+    assert np.max(np.abs(q_k64 - q_o64) / scale_q) < 1e-12
+    scale_u = max(np.abs(u_o64).max(), 1e-30)
+    assert np.abs(u_k64 - u_o64).max() / scale_u < 1e-10
+
+    # both kernel conventions sit within the same band of the XLA det
+    # truth; the in-kernel-statics loop must not be worse
+    assert np.max(np.abs(q_k64 - q64) / scale_q) < 5e-6
+    err_plain = np.max(np.abs(np.asarray(q32) - q64) / scale_q)
+    err_kernel = np.max(np.abs(q_k32 - q64) / scale_q)
+    assert err_kernel < err_plain * 1.05
+
+
+def test_ehl_interior_carry_kernel_bitexact():
+    """The 6-channel interior-carry kernel (own wrap-halo DMAs + in-kernel
+    Kahan two-sum) reproduces the emit-delta kernel + explicit two-sum
+    BIT-exactly for several steps."""
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    p = Problem.from_string(sim2d_src())
+    p._pre_run()
+    cfg = p._solver_cfg
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((34, 130)) * 1e-9, jnp.float32)
+    h_und = jnp.asarray(p.topo.h_undeformed, jnp.float32)
+    extra = jnp.asarray(p.fc.get_real_field("extra").p, jnp.float32)
+    q0 = jnp.asarray(p.q, jnp.float32)
+    dt = jnp.float32(p.dt)
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops import stencil
+        stencil.make_pallas_ehl_step.cache_clear()
+        stencil.make_pallas_ehl_loop_step.cache_clear()
+        stencil._make_call.cache_clear()
+        dstep = stencil.make_pallas_ehl_step(cfg, 32, 128, bs=16,
+                                             emit_delta=True)
+        step6 = stencil.make_pallas_ehl_loop_step(cfg, 32, 128, bs=16)
+
+        h_int = (h_und + u)[1:-1, 1:-1]
+        rdx2, rdy2 = 0.5 / cfg.dx, 0.5 / cfg.dy
+        hf = h_und + u
+        H = stencil.HALO_X
+        px = jnp.stack([(hf[2, 1:-1] - hf[0, 1:-1]) * rdx2,
+                        (hf[-1, 1:-1] - hf[-3, 1:-1]) * rdx2])
+        wrapv = lambda v: jnp.concatenate([v[-H:], v, v[:H]], 0)
+        py = jnp.stack([wrapv((hf[1:-1, 2] - hf[1:-1, 0]) * rdy2),
+                        wrapv((hf[1:-1, -1] - hf[1:-1, -3]) * rdy2)],
+                       axis=1)
+
+        # reference: emit-delta kernel + explicit Kahan, ghost-incl carry
+        qr = q0
+        lo = np.zeros((3, 32, 128), np.float32)
+        for _ in range(4):
+            delta = np.asarray(dstep(qr, u, h_und, extra, dt))
+            y = delta + lo
+            qi = np.asarray(qr)[:, 1:-1, 1:-1]
+            t = qi + y
+            lo = y - (t - qi)
+            qr = stencil._reassemble(qr, jnp.asarray(t))
+
+        # interior-carry kernel
+        q6 = jnp.concatenate([q0[:, 1:-1, 1:-1],
+                              jnp.zeros_like(q0[:, 1:-1, 1:-1])], 0)
+        for _ in range(4):
+            q6 = step6(q6, h_int, extra[0, 1:-1, 1:-1], px, py, dt)
+
+        stencil.make_pallas_ehl_step.cache_clear()
+        stencil.make_pallas_ehl_loop_step.cache_clear()
+        stencil._make_call.cache_clear()
+
+    np.testing.assert_array_equal(np.asarray(q6[:3]),
+                                  np.asarray(qr)[:, 1:-1, 1:-1])
+    np.testing.assert_array_equal(np.asarray(q6[3:]), lo)
+
+
+def sim2d_src():
+    return globals().get("_SIM2D") or _extract_sim2d()
+
+
+def _extract_sim2d():
+    import inspect
+    src = inspect.getsource(test_ehl_statics_in_kernel_matches_xla_loop)
+    body = src.split('sim2d = """')[1].split('"""')[0]
+    globals()["_SIM2D"] = body
+    return body
