@@ -194,8 +194,70 @@ def al_chunked_parity(n_steps=3):
     }
 
 
+def ehl_kernel_bitexact(n_steps=4, nx=256, ny=128):
+    """Interior-carry EHL kernel vs the emit-delta kernel + explicit
+    Kahan two-sum on the ACTIVE backend.
+
+    On a real TPU this exercises the Mosaic-compiled double-buffered
+    wrap-halo DMA pipeline of ``_kernel_fused_ehl6`` — exactly the part
+    interpret-mode CPU tests cannot stress (DMA/compute races are
+    serialized away by the interpreter).  The two formulations share
+    their arithmetic, so the comparison is BIT-exact by contract.
+    """
+    from .ops.stencil import (make_pallas_ehl_step, make_pallas_ehl_loop_step,
+                              HALO_X, _reassemble)
+
+    problem = journal_problem(nx=nx, ny=ny)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    state = _perturbed_state(problem)
+    q0 = jnp.asarray(state.q, jnp.float32)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((nx + 2, ny + 2)) * 1e-9,
+                    jnp.float32)
+    # journal_problem has no elastic block; any ghost-inclusive height
+    # works as the undeformed gap for this arithmetic-identity check
+    h_und = jnp.asarray(problem.topo.h, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    dstep = make_pallas_ehl_step(cfg, nx, ny, emit_delta=True)
+    qr = q0
+    lo = np.zeros((3, nx, ny), np.float32)
+    for _ in range(n_steps):
+        delta = np.asarray(dstep(qr, u, h_und, extra, dt))
+        y = delta + lo
+        qi = np.asarray(qr)[:, 1:-1, 1:-1]
+        t = qi + y
+        lo = y - (t - qi)
+        qr = _reassemble(qr, jnp.asarray(t))
+
+    hf = h_und + u
+    rdx2, rdy2 = 0.5 / cfg.dx, 0.5 / cfg.dy
+    px = jnp.stack([(hf[2, 1:-1] - hf[0, 1:-1]) * rdx2,
+                    (hf[-1, 1:-1] - hf[-3, 1:-1]) * rdx2])
+
+    def wrapv(v):
+        return jnp.concatenate([v[-HALO_X:], v, v[:HALO_X]], 0)
+
+    py = jnp.stack([wrapv((hf[1:-1, 2] - hf[1:-1, 0]) * rdy2),
+                    wrapv((hf[1:-1, -1] - hf[1:-1, -3]) * rdy2)], axis=1)
+
+    step6 = make_pallas_ehl_loop_step(cfg, nx, ny)
+    q6 = jnp.concatenate([q0[:, 1:-1, 1:-1],
+                          jnp.zeros((3, nx, ny), jnp.float32)], 0)
+    for _ in range(n_steps):
+        q6 = step6(q6, hf[1:-1, 1:-1], extra[0, 1:-1, 1:-1], px, py, dt)
+
+    dq = float(np.abs(np.asarray(q6[:3])
+                      - np.asarray(qr)[:, 1:-1, 1:-1]).max())
+    dl = float(np.abs(np.asarray(q6[3:]) - lo).max())
+    return {"q_maxdiff": dq, "lo_maxdiff": dl,
+            "ok": bool(dq == 0.0 and dl == 0.0)}
+
+
 def correctness_block(sommerfeld_steps=20000):
-    """Run both checks; returns a dict for the bench JSON line.
+    """Run the checks; returns a dict for the bench JSON line.
 
     ``ok`` is False on any regression — bench.py exits nonzero on it.
     """
@@ -205,11 +267,13 @@ def correctness_block(sommerfeld_steps=20000):
         extra_props=", piezo: {name: Barus, aB: 2.e-9}, "
                     "thinning: {name: Eyring, tauE: 5.e5}", amp=1e-4)
     al = al_chunked_parity()
+    ehl = ehl_kernel_bitexact()
     return {
         "sommerfeld_l2": l2,
         "pallas_vs_xla_max_scaled_err": kern,
         "pallas_thinning_vs_xla_max_scaled_err": kern_thin,
         "al_chunked": al,
+        "ehl_kernel": ehl,
         "ok": bool(l2 < 0.02 and kern < 1e-4 and kern_thin < 1e-4
-                   and al["ok"]),
+                   and al["ok"] and ehl["ok"]),
     }
