@@ -43,3 +43,19 @@ def test_sommerfeld_solution_shape():
     assert p.shape == (64,)
     # antisymmetric-ish about the half circumference: max > P0 > min
     assert p.max() > 1e5 > p.min()
+
+
+def test_ehl_kernel_bitexact_small():
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.ops import stencil
+    from gapflow_tpu.validate import ehl_kernel_bitexact
+
+    with pltpu.force_tpu_interpret_mode():
+        stencil.make_pallas_ehl_step.cache_clear()
+        stencil.make_pallas_ehl_loop_step.cache_clear()
+        stencil._make_call.cache_clear()
+        out = ehl_kernel_bitexact(n_steps=2, nx=32, ny=128)
+        stencil.make_pallas_ehl_step.cache_clear()
+        stencil.make_pallas_ehl_loop_step.cache_clear()
+        stencil._make_call.cache_clear()
+    assert out["ok"], out
