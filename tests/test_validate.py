@@ -54,7 +54,8 @@ def test_ehl_kernel_bitexact_small():
         stencil.make_pallas_ehl_step.cache_clear()
         stencil.make_pallas_ehl_loop_step.cache_clear()
         stencil._make_call.cache_clear()
-        out = ehl_kernel_bitexact(n_steps=2, nx=32, ny=128)
+        out = ehl_kernel_bitexact(n_steps=2, nx=32, ny=128,
+                                  dt_scale=0.01)
         stencil.make_pallas_ehl_step.cache_clear()
         stencil.make_pallas_ehl_loop_step.cache_clear()
         stencil._make_call.cache_clear()
