@@ -1,0 +1,163 @@
+"""Fused Pallas GP-surrogate step equals the XLA GP step (interpret).
+
+The GP state is SYNTHETIC and well-conditioned: the toy state trained on
+a near-uniform initial flow is degenerate (saturated kernel matrix with
+catastrophic alpha cancellation), where f32 evaluation is meaningless in
+any formulation.  Production states (spread training data, sane
+hyperparameters) behave like the synthetic one.
+"""
+
+import contextlib
+import io
+import tempfile
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gapflow_tpu import Problem
+from gapflow_tpu.core.gp_step import make_gp_step_core
+from gapflow_tpu.core.step import apply_bcs
+
+SIM = """
+options:
+    output: data/gpk
+    write_freq: 1000000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: 32
+    Ny: 128
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 100000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+gp:
+    press:
+        fix_noise: True
+        atol: 1.
+        rtol: 0.1
+        obs_stddev: 100.
+        max_steps: 5
+{shear_gp}
+db:
+    init_size: 8
+    init_method: sobol
+    init_width: 1.e-4
+    dtool_path: {tmp}
+"""
+
+SHEAR_GP = """    shear:
+        fix_noise: True
+        atol: 1.
+        rtol: 0.1
+        obs_stddev: 1.
+        max_steps: 5
+"""
+
+
+def synthetic_state(dims, use, cap, rng):
+    state = {"Xscale": jnp.asarray(
+        np.array([877.7, 68.7, 23.7, 1.7e-6, 6.2e-3, 6.2e-3, 1.0]),
+        jnp.float32)}
+    for key, dms, used, yscale in zip(("z", "x", "y"), dims, use,
+                                      (1e5, 1e3, 1e3)):
+        if not used:
+            continue
+        d = len(dms)
+        state[f"params_{key}"] = {
+            "log_amp": jnp.asarray(0.2, jnp.float32),
+            "log_scale": jnp.asarray(rng.uniform(-0.5, 0.5, d),
+                                     jnp.float32)}
+        state[f"Xfit_{key}"] = jnp.asarray(
+            rng.uniform(0., 1.2, (cap, d)), jnp.float32)
+        m = 1 if key == "z" else 2
+        alpha = rng.normal(size=(cap, m))
+        state[f"alpha_{key}"] = jnp.asarray(
+            alpha if m == 2 else alpha[:, 0], jnp.float32)
+        state[f"Yscale_{key}"] = jnp.asarray(yscale, jnp.float32)
+    return state
+
+
+def _setup(with_shear, tmp):
+    with contextlib.redirect_stdout(io.StringIO()):
+        problem = Problem.from_string(
+            SIM.format(shear_gp=SHEAR_GP if with_shear else "", tmp=tmp))
+        problem._pre_run()
+    dims = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                 for m in (problem.pressure, problem.wall_stress_xz,
+                           problem.wall_stress_yz))
+    use = tuple(m.is_gp_model for m in (problem.pressure,
+                                        problem.wall_stress_xz,
+                                        problem.wall_stress_yz))
+    return problem, dims, use
+
+
+@pytest.mark.parametrize("with_shear", [False, True])
+def test_gp_pallas_step_matches_xla(with_shear, tmp_path):
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.ops.stencil_gp import (make_pallas_gp_step_fn,
+                                            gp_kernel_supported)
+
+    problem, dims, use = _setup(with_shear, str(tmp_path))
+    cfg = problem._solver_cfg
+    assert gp_kernel_supported(cfg, 128, dims, use)
+
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_state(dims, use, 8, rng)
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    nf = problem.database.num_features
+    ref_step = make_gp_step_core(cfg, dims, nf, use)
+    qr, pr = ref_step(q, topo, extra, dt, 0, gp_state)
+
+    with pltpu.force_tpu_interpret_mode():
+        kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, 32, 128, bs=16)
+        qk, pk = kstep(q, topo, extra, dt, 0, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    assert np.max(np.abs(qk - qr) / sc) < 2e-5
+    p_err = (np.abs(np.asarray(pk) - np.asarray(pr)).max()
+             / np.abs(np.asarray(pr)).max())
+    assert p_err < 2e-5
+
+
+def test_gp_step_cpu_routes_to_xla(tmp_path):
+    """On the CPU backend the core step must NOT attempt a Mosaic call."""
+    problem, dims, use = _setup(False, str(tmp_path))
+    cfg = problem._solver_cfg
+    rng = np.random.default_rng(1)
+    gp_state = synthetic_state(dims, use, 8, rng)
+    step = make_gp_step_core(cfg, dims, problem.database.num_features, use)
+    q = jnp.asarray(problem.q, jnp.float32)
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    qn, p = jax.jit(step)(q, topo, extra, jnp.float32(problem.dt), 0,
+                          gp_state)
+    assert np.all(np.isfinite(np.asarray(qn)))
