@@ -731,6 +731,47 @@ class Problem:
         self.step += n
         self.simtime += n * self.dt
 
+    def run_steps_ehl(self, n, deform_every=1, dtype=None):
+        """Advance ``n`` fixed-dt steps of an ELASTIC problem through the
+        on-device EHL loop (core.ehl.make_ehl_loop).
+
+        The reference protocol (``deform_every=1``) evaluates the elastic
+        FFT every fluid step; larger ``deform_every`` chunks the updates
+        with the compounded under-relaxation factor (same fixed point).
+        On covered configurations (fully periodic, no thinning, f32) the
+        fluid step runs the statics-in-kernel Pallas kernel with the
+        interior Kahan carry.  Syncs q, the deformation state and the
+        topography afterwards.
+        """
+        from .core.ehl import make_ehl_loop
+        from .models.eos import eos_pressure as _eos
+
+        if not self.topo.elastic:
+            raise RuntimeError("run_steps_ehl requires an elastic problem")
+        if self.has_gp_model:
+            raise RuntimeError("run_steps_ehl covers deterministic "
+                               "constitutive models only")
+        if self.step is None:
+            self._pre_run()
+        if self.numerics["adaptive"]:
+            raise RuntimeError("run_steps_ehl uses a fixed dt")
+
+        loop = make_ehl_loop(self, dtype=dtype, deform_every=deform_every)
+        ed = self.topo.ElasticDeformation
+        q, u = loop(jnp.asarray(self.q), jnp.asarray(ed.u_prev),
+                    jnp.asarray(self.dt), n)
+        q, u = np.asarray(q), np.asarray(u)
+
+        self.q[...] = q
+        ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
+        shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
+        self.topo.deformation = u - shift
+        self.topo.h = self.topo.h_undeformed + (u - shift)
+        self.fc.get_real_field("pressure").p[...] = np.asarray(
+            _eos(jnp.asarray(self.q[0]), self._solver_cfg.prop))
+        self.step += n
+        self.simtime += n * self.dt
+
     def run_steps_gp_device(self, n, capacity=64, refit_steps=40):
         """Advance ``n`` fixed-dt GP-surrogate steps fully on-device,
         INCLUDING active learning.

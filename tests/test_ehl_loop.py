@@ -287,3 +287,29 @@ def _extract_sim2d():
     body = src.split('sim2d = """')[1].split('"""')[0]
     globals()["_SIM2D"] = body
     return body
+
+
+def test_run_steps_ehl_driver_matches_library_loop():
+    """Problem.run_steps_ehl == make_ehl_loop + manual state sync, and the
+    synced Problem state is consistent (h = h_und + u, gradients fresh)."""
+    p1 = Problem.from_string(sim)
+    p1._pre_run()
+    loop = make_ehl_loop(p1, use_pallas=False)
+    u0 = np.zeros_like(np.asarray(p1.topo.ElasticDeformation.u_prev))
+    q_ref, u_ref = loop(p1.q, u0, p1.dt, 40)
+
+    p2 = Problem.from_string(sim)
+    p2._pre_run()
+    p2.run_steps_ehl(40)
+
+    np.testing.assert_allclose(np.asarray(p2.q), np.asarray(q_ref),
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(np.asarray(p2.topo.deformation),
+                               np.asarray(u_ref), rtol=1e-12, atol=1e-30)
+    np.testing.assert_allclose(
+        np.asarray(p2.topo.h),
+        np.asarray(p2.topo.h_undeformed) + np.asarray(u_ref), rtol=1e-12)
+    assert p2.step == 40
+    # continuing with host updates works from the synced state
+    p2.update()
+    assert np.all(np.isfinite(p2.q))
