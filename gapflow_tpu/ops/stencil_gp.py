@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import (HALO_X, N_STATIC, _auto_bs, _eta_fused,
+from .stencil import (HALO_X, N_STATIC, _eta_fused,
                       _extend_interior, _reassemble, _statics_ghosted,
                       _fully_periodic, pallas_supported)
 from ..core.step import mc_directions
