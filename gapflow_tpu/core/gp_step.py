@@ -38,8 +38,12 @@ def _features(q, topo, extra):
 
 
 def _gp_mean(params, X_fit, alpha, Xtest):
+    # full-precision contraction: the TPU default (bf16 passes) costs ~1%
+    # on the predicted stresses — measured against the f64 truth while
+    # validating the fused Pallas GP kernel, which accumulates in f32
     Ks = kernel_fn(params, X_fit, Xtest)
-    return (Ks.T @ alpha).T
+    return jnp.matmul(Ks.T, alpha,
+                      precision=jax.lax.Precision.HIGHEST).T
 
 
 def make_gp_closures(cfg, active_dims, num_features, use_gp):
@@ -97,7 +101,8 @@ def make_gp_closures(cfg, active_dims, num_features, use_gp):
     return closures
 
 
-def make_gp_step_core(cfg, active_dims, num_features, use_gp):
+def make_gp_step_core(cfg, active_dims, num_features, use_gp,
+                      allow_pallas=True):
     """Unjitted GP-closed timestep builder (shared with the AL loop).
 
     active_dims: (dims_z, dims_x, dims_y) tuples (None when that surrogate
@@ -130,7 +135,8 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp):
         nx, ny = q.shape[1] - 2, q.shape[2] - 2
         caps = [gp_state[f"Xfit_{k}"].shape[0] for k, u in
                 zip(("z", "x", "y"), use_gp) if u]
-        return (jax.default_backend() != "cpu"
+        return (allow_pallas
+                and jax.default_backend() != "cpu"
                 and q.dtype == jnp.float32
                 and nx % 8 == 0
                 and max(caps, default=0) <= 256

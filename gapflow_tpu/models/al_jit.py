@@ -124,7 +124,7 @@ def predict(gp: PaddedGP, Xtest):
     m = _row_mask(gp.X.shape[0], gp.count, Ks.dtype)
     Ks = Ks * m[:, None]
 
-    mean = Ks.T @ gp.alpha
+    mean = jnp.matmul(Ks.T, gp.alpha, precision=_HI)
     v = jnp.dot(gp.Linv, Ks, precision=_HI)
     amp = jnp.exp(gp.params["log_amp"])
     var = amp + gp.yerr ** 2 - jnp.sum(v * v, axis=0)

@@ -127,7 +127,7 @@ def gp_predict_mean(params, X, cache, Xtest):
     """Predictive mean(s) at Xtest from cached weights; (m, ntest) or (ntest,)."""
     _, alpha, _ = cache
     Ks = kernel_fn(params, X, Xtest)
-    mean = Ks.T @ alpha
+    mean = jnp.matmul(Ks.T, alpha, precision=_HI)
     return mean.T
 
 
@@ -140,7 +140,7 @@ def gp_predict_mean_var(params, X, cache, Xtest):
     """
     Linv, alpha, yerr2 = cache
     Ks = kernel_fn(params, X, Xtest)
-    mean = Ks.T @ alpha
+    mean = jnp.matmul(Ks.T, alpha, precision=_HI)
     v = jnp.dot(Linv, Ks, precision=_HI)
     var = kernel_diag(params, Xtest) + yerr2 - jnp.sum(v * v, axis=0)
     return mean.T, var

@@ -263,6 +263,105 @@ def ehl_kernel_bitexact(n_steps=4, nx=256, ny=128, dt_scale=1.0):
             "ok": bool(dq <= 1e-6 * scale and dl <= 1e-6 * scale)}
 
 
+_GP_SIM = """
+options: {{output: {tmp}, write_freq: 1000000, silent: True}}
+grid: {{dx: 2.e-5, dy: 2.e-5, Nx: 64, Ny: 128}}
+geometry: {{type: journal, CR: 1.e-2, eps: 0.7, U: 0.1, V: 0.05}}
+numerics: {{CFL: 0.25, adaptive: 0, tol: 1e-30, dt: 5e-11, max_it: 10}}
+properties: {{shear: 0.0794, bulk: 0., EOS: DH, P0: 101325.,
+             rho0: 877.7007, C1: 3.5e10, C2: 1.23}}
+gp:
+    press: {{fix_noise: True, atol: 1., rtol: 0.1, obs_stddev: 100.,
+            max_steps: 2}}
+    shear: {{fix_noise: True, atol: 1., rtol: 0.1, obs_stddev: 1.,
+            max_steps: 2}}
+db: {{init_size: 4, init_method: sobol, init_width: 1.e-4,
+     dtool_path: {tmp}}}
+"""
+
+
+def synthetic_gp_state(dims, use, cap, rng):
+    """Well-conditioned padded GP state for kernel parity checks.
+
+    A state trained on a near-uniform initial flow is degenerate
+    (saturated kernel, catastrophic alpha cancellation) and meaningless
+    to compare in f32; production states behave like this synthetic one.
+    """
+    state = {"Xscale": jnp.asarray(
+        np.array([877.7, 68.7, 23.7, 1.7e-6, 6.2e-3, 6.2e-3, 1.0]),
+        jnp.float32)}
+    for key, dms, used, yscale in zip(("z", "x", "y"), dims, use,
+                                      (1e5, 1e3, 1e3)):
+        if not used:
+            continue
+        d = len(dms)
+        state[f"params_{key}"] = {
+            "log_amp": jnp.asarray(0.2, jnp.float32),
+            "log_scale": jnp.asarray(rng.uniform(-0.5, 0.5, d),
+                                     jnp.float32)}
+        state[f"Xfit_{key}"] = jnp.asarray(
+            rng.uniform(0., 1.2, (cap, d)), jnp.float32)
+        m = 1 if key == "z" else 2
+        alpha = rng.normal(size=(cap, m))
+        state[f"alpha_{key}"] = jnp.asarray(
+            alpha if m == 2 else alpha[:, 0], jnp.float32)
+        state[f"Yscale_{key}"] = jnp.asarray(yscale, jnp.float32)
+    return state
+
+
+def gp_kernel_parity(cap=16):
+    """Fused Pallas GP step vs the XLA GP step on the ACTIVE backend.
+
+    On real TPU the two come out f32-identical (verified during
+    development at 1024^2/capacity 64); ``ok`` allows f32-rounding-level
+    scaled error.
+    """
+    import contextlib
+    import io
+    import tempfile
+    from . import Problem
+    from .core.gp_step import make_gp_step_core
+    from .core.step import apply_bcs
+
+    tmp = tempfile.mkdtemp()
+    with contextlib.redirect_stdout(io.StringIO()):
+        problem = Problem.from_string(_GP_SIM.format(tmp=tmp))
+        problem._pre_run()
+    dims = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                 for m in (problem.pressure, problem.wall_stress_xz,
+                           problem.wall_stress_yz))
+    use = tuple(m.is_gp_model for m in (problem.pressure,
+                                        problem.wall_stress_xz,
+                                        problem.wall_stress_yz))
+    cfg = problem._solver_cfg
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_gp_state(dims, use, cap, rng)
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+    nf = problem.database.num_features
+
+    from .ops.stencil_gp import make_pallas_gp_step_fn
+    nx, ny = q.shape[1] - 2, q.shape[2] - 2
+    kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, nx, ny)
+    qk, pk = kstep(q, topo, extra, dt, 0, gp_state)
+    ref = make_gp_step_core(cfg, dims, nf, use, allow_pallas=False)
+    qr, pr = ref(q, topo, extra, dt, 0, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    q_err = float(np.max(np.abs(qk - qr) / sc))
+    p_err = float(np.abs(np.asarray(pk) - np.asarray(pr)).max()
+                  / np.abs(np.asarray(pr)).max())
+    return {"q_scaled_maxerr": q_err, "p_rel_maxerr": p_err,
+            "ok": bool(q_err < 2e-5 and p_err < 2e-5)}
+
+
 def correctness_block(sommerfeld_steps=20000):
     """Run the checks; returns a dict for the bench JSON line.
 
@@ -275,12 +374,14 @@ def correctness_block(sommerfeld_steps=20000):
                     "thinning: {name: Eyring, tauE: 5.e5}", amp=1e-4)
     al = al_chunked_parity()
     ehl = ehl_kernel_bitexact()
+    gpk = gp_kernel_parity()
     return {
         "sommerfeld_l2": l2,
         "pallas_vs_xla_max_scaled_err": kern,
         "pallas_thinning_vs_xla_max_scaled_err": kern_thin,
         "al_chunked": al,
         "ehl_kernel": ehl,
+        "gp_kernel": gpk,
         "ok": bool(l2 < 0.02 and kern < 1e-4 and kern_thin < 1e-4
-                   and al["ok"] and ehl["ok"]),
+                   and al["ok"] and ehl["ok"] and gpk["ok"]),
     }
