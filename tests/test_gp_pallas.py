@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from gapflow_tpu import Problem
 from gapflow_tpu.core.gp_step import make_gp_step_core
 from gapflow_tpu.core.step import apply_bcs
+from gapflow_tpu.validate import synthetic_gp_state as synthetic_state
 
 SIM = """
 options:
@@ -72,29 +73,6 @@ SHEAR_GP = """    shear:
         obs_stddev: 1.
         max_steps: 5
 """
-
-
-def synthetic_state(dims, use, cap, rng):
-    state = {"Xscale": jnp.asarray(
-        np.array([877.7, 68.7, 23.7, 1.7e-6, 6.2e-3, 6.2e-3, 1.0]),
-        jnp.float32)}
-    for key, dms, used, yscale in zip(("z", "x", "y"), dims, use,
-                                      (1e5, 1e3, 1e3)):
-        if not used:
-            continue
-        d = len(dms)
-        state[f"params_{key}"] = {
-            "log_amp": jnp.asarray(0.2, jnp.float32),
-            "log_scale": jnp.asarray(rng.uniform(-0.5, 0.5, d),
-                                     jnp.float32)}
-        state[f"Xfit_{key}"] = jnp.asarray(
-            rng.uniform(0., 1.2, (cap, d)), jnp.float32)
-        m = 1 if key == "z" else 2
-        alpha = rng.normal(size=(cap, m))
-        state[f"alpha_{key}"] = jnp.asarray(
-            alpha if m == 2 else alpha[:, 0], jnp.float32)
-        state[f"Yscale_{key}"] = jnp.asarray(yscale, jnp.float32)
-    return state
 
 
 def _setup(with_shear, tmp):
