@@ -25,6 +25,18 @@ import jax.numpy as jnp
 from .ops import specfft
 
 
+def _check_fft_dtype(p):
+    """TPU has no complex128 FFT: float64 elastic runs are CPU-only.
+
+    Caught at trace time with an actionable message instead of the PJRT
+    compiler error ("Unexpected operand type for FFT: c128[...]")."""
+    if p.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        raise TypeError(
+            "float64 elastic FFT is not supported on this accelerator "
+            "(no complex128 FFT on TPU). Run elastic problems in float32 "
+            "production mode (GAPFLOW_X64=0) or on the CPU backend.")
+
+
 def _love_kernel(dx, dy, X, Y):
     """Surface displacement at offsets (X, Y) due to unit uniform pressure on
     an (dx × dy) rectangle centered at the origin, times pi*E*/2... no:
@@ -82,6 +94,7 @@ class PeriodicHalfSpace:
 
     def deformation(self, p):
         """Displacement field for pressure field p (positive p -> positive u)."""
+        _check_fft_dtype(p)
         if self._spec:
             return specfft.spectral_multiply_t(
                 p, self._weights_t.astype(p.dtype))
@@ -132,6 +145,7 @@ class FreeHalfSpace:
         self._padded = (2 * nx, 2 * ny)
 
     def deformation(self, p):
+        _check_fft_dtype(p)
         nx, ny = self._shape
         ppad = jnp.zeros(self._padded, dtype=p.dtype).at[:nx, :ny].set(p)
         if self._spec:
