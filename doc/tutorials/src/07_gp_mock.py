@@ -170,9 +170,9 @@ fig.tight_layout()
 #    host path acquisition-for-acquisition (`tests/test_al_chunked.py`)
 #    and needs no host-callback support — this is the production mode
 #    on TPU.
-# 3. **Fully on-device** (`problem.run_steps_gp_device(n)`): the whole
-#    loop — variance checks, acquisition through ``io_callback``,
-#    padded training-set growth, Adam refits — inside one XLA program
-#    (`gapflow_tpu/core/al_loop.py`), for runtimes with host callbacks.
+# (A third, *experimental* mode — `run_steps_gp_device`, the whole loop
+# including acquisition inside one XLA program — lives in
+# `gapflow_tpu/core/al_loop.py`; it deviates from the reference protocol
+# and is not part of the supported API.)
 #
 # Tutorial 8 swaps the mock oracle for real molecular dynamics.

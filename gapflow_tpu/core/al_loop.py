@@ -1,4 +1,12 @@
-"""Fully on-device GP run loop WITH active learning.
+"""EXPERIMENTAL: fully on-device GP run loop WITH active learning.
+
+Status: an experiment, not the production active-learning path.  The
+production device path is :mod:`gapflow_tpu.core.al_chunked`
+(``Problem.run_steps_gp_chunked``), which reproduces the host protocol
+acquisition-for-acquisition and runs on tunneled TPU runtimes.  This
+module is kept as the demonstration that the *entire* AL loop can live
+in one XLA program; its two protocol deviations are documented below
+and it is excluded from the documented API (callers get a warning).
 
 This closes the last host-driven piece of the GP-surrogate path: the
 reference protocol (GaPFlow/models/gp.py:419-506 — per predictor pass,

@@ -17,7 +17,7 @@ import yaml as _yaml
 
 from .. import datasets as dt
 from ..utils import bordered_text, make_dumpable
-from .runner import run_parallel, run_serial
+from .runner import run_lammps, run_parallel, run_serial
 
 
 class MolecularDynamics:
@@ -111,7 +111,10 @@ class MolecularDynamics:
         basedir = os.getcwd()
         os.chdir(os.path.join(location, "data"))
         try:
-            if self.num_worker > 1:
+            if getattr(self, "engine", "native") == "lammps":
+                # moltemplate-generated deck -> external LAMMPS world
+                run_lammps(self.main_file, self.num_worker)
+            elif self.num_worker > 1:
                 run_parallel(self.main_file, self.num_worker)
             elif self.num_worker == 1:
                 run_serial(self.main_file)

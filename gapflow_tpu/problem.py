@@ -773,22 +773,36 @@ class Problem:
         self.simtime += n * self.dt
 
     def run_steps_gp_device(self, n, capacity=64, refit_steps=40):
-        """Advance ``n`` fixed-dt GP-surrogate steps fully on-device,
-        INCLUDING active learning.
+        """EXPERIMENTAL: advance ``n`` fixed-dt GP-surrogate steps fully
+        on-device, INCLUDING active learning.
 
-        The whole run — GP predictions, variance-tolerance checks,
-        argmax-variance acquisition (MD oracle via io_callback, database
-        and dtool packaging unchanged), O(n^2) training-set growth and
-        fixed-budget hyperparameter refits — compiles to one XLA program
-        (core/al_loop.py).  ``capacity`` bounds the training-set size
-        (static shapes); acquisition stops when full.
+        The production device path is :meth:`run_steps_gp_chunked`, which
+        reproduces the host protocol acquisition-for-acquisition.  This
+        experiment compiles the whole run — GP predictions,
+        variance-tolerance checks, argmax-variance acquisition (MD oracle
+        via io_callback, database and dtool packaging unchanged), O(n^2)
+        training-set growth and fixed-budget hyperparameter refits — to
+        one XLA program (core/al_loop.py), at the cost of two documented
+        protocol deviations (normalization frozen at loop entry;
+        fixed-budget Adam refits of all surrogates per acquisition) and a
+        runtime requirement the production TPU path doesn't have
+        (host-callback support: CPU and directly-attached TPU only;
+        tunneled/proxied PJRT backends raise UNIMPLEMENTED).
 
-        Requires a runtime with host-callback support (CPU and
-        directly-attached TPU; tunneled/proxied PJRT backends may not
-        implement host send/recv and raise UNIMPLEMENTED).
+        ``capacity`` bounds the training-set size (static shapes);
+        acquisition stops when full.
         """
+        import warnings
+
         from .core.al_loop import (make_gp_al_loop, init_gp_states,
                                    sync_host)
+
+        warnings.warn(
+            "run_steps_gp_device is experimental: its active-learning "
+            "semantics deviate from the host protocol (frozen "
+            "normalization, fixed-budget refits). Use run_steps_gp_chunked "
+            "for protocol-exact device-accelerated active learning.",
+            stacklevel=2)
 
         if not self.has_gp_model:
             raise RuntimeError("run_steps_gp_device requires GP surrogates")
