@@ -32,6 +32,8 @@ GaPFlow/topography.py:424-441 (single-process NumPy + serial FFT).
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -64,9 +66,11 @@ def make_sharded_ehl_loop(problem, mesh, deform_every=1):
     repl = NamedSharding(mesh, P())
     blk = NamedSharding(mesh, P(None, "x", "y"))
 
-    h_und = jnp.asarray(problem.topo.h_undeformed)
-    extra_b = jax.device_put(
-        pad_blocks(problem.fc.get_real_field("extra").p, px, py), blk)
+    # host-side (numpy) closures: these become replicated jit constants,
+    # which stays legal when the mesh spans multiple processes (closing
+    # over a committed global jax.Array would not — jax raises)
+    h_und = np.asarray(problem.topo.h_undeformed)
+    extra_b_host = pad_blocks(problem.fc.get_real_field("extra").p, px, py)
 
     K = int(deform_every)
     alpha_K = 1. - (1. - alpha) ** K
@@ -77,6 +81,8 @@ def make_sharded_ehl_loop(problem, mesh, deform_every=1):
     def loop(q, u_prev, dt, n_steps):
         assert n_steps % K == 0, "n_steps must be divisible by deform_every"
         u0 = lax.with_sharding_constraint(jnp.asarray(u_prev), repl)
+        extra_b = lax.with_sharding_constraint(
+            jnp.asarray(extra_b_host, q.dtype), blk)
 
         def body(i, carry):
             q, u = carry
