@@ -46,10 +46,17 @@ from .gp_step import make_gp_step_core, _features
 
 @lru_cache(maxsize=16)
 def make_advance_fn(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates):
+    """Cached non-elastic :func:`_build_advance` (the common case)."""
+    return _build_advance(cfg, specs_t, dims3, nfeat, use3, ncells,
+                          n_candidates, None)
+
+
+def _build_advance(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates,
+                   elastic_fns):
     """Jitted ``advance``: GP-closed steps until a surrogate needs data.
 
-    ``advance(q, topo, extra, gps, pauses, Xscale, Yscales, step0, dt,
-    n_rem, skip_first, suppress) -> (q, steps_done, needs, pauses)``:
+    ``advance(q, topo, extra, u, gps, pauses, Xscale, Yscales, step0, dt,
+    n_rem, skip_first, suppress) -> (q, u, steps_done, needs, pauses)``:
     runs at most ``n_rem`` timesteps; exits early — before advancing the
     offending step — when any unpaused surrogate's max predictive
     variance over the candidate set reaches its tolerance.  ``needs`` is
@@ -63,10 +70,24 @@ def make_advance_fn(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates):
     step attempt (set on re-entry at the same timestep); ``suppress[k]``
     masks surrogate k's trigger for that first attempt (set when the
     host ruled k trusted at the contested step).
+
+    ``elastic_fns`` composes the elastic half-space in the device loop
+    (multiscale EHL, reference GaPFlow/problem.py:565-569 +
+    topography.py:424-441): per step the topography is rebuilt from the
+    carried deformation, and after the step the pass-2 pressure deforms
+    the surface under-relaxed — exactly the host ``topo.update()``
+    sequencing.  ``u`` carries the UNSHIFTED relaxed deformation (the
+    host ``ElasticDeformation.u_prev`` state); for half/none periodicity
+    the applied field is shifted by u[0, 0] like the host.  Non-elastic
+    problems pass a dummy ``u`` straight through.
     """
     specs = dict(specs_t)
     keys = list(specs)
     step_core = make_gp_step_core(cfg, dims3, nfeat, use3)
+    if elastic_fns is not None:
+        from .ehl import _topo_from_deformation
+        hs_deform, h_und, alpha_ur, shift_ref = elastic_fns
+        h_und = jnp.asarray(h_und)
 
     if n_candidates and n_candidates < ncells:
         stride = max(1, ncells // n_candidates)
@@ -84,16 +105,16 @@ def make_advance_fn(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates):
         return state
 
     @jax.jit
-    def advance(q, topo, extra, gps, pauses, Xscale, Yscales, step0, dt,
+    def advance(q, topo, extra, u, gps, pauses, Xscale, Yscales, step0, dt,
                 n_rem, skip_first, suppress):
         gp_state = _gp_state_of(gps, Xscale, Yscales)
 
         def cond(c):
-            _, _, i, needs = c
+            _, _, _, i, needs = c
             return (i < n_rem) & ~jnp.any(needs)
 
         def body(c):
-            q, pauses, i, needs = c
+            q, u, pauses, i, needs = c
 
             # host predict(): the pause decrements at every predictor
             # pass START, before the variance check
@@ -101,7 +122,20 @@ def make_advance_fn(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates):
             pauses = {k: jnp.where(hold, p, jnp.maximum(-1, p - 1))
                       for k, p in pauses.items()}
 
-            Xf = (_features(q, topo, extra).reshape(nfeat, -1).T
+            if elastic_fns is not None:
+                # i == 0 uses the host-synced field exactly: the initial
+                # topography carries the geometry's ANALYTIC gradients
+                # until the first topo.update() replaces them with
+                # np.gradient of the deformed height (host sequencing)
+                u_eff = u - (u[0, 0] if shift_ref else 0.)
+                topo_r = _topo_from_deformation(h_und, u_eff,
+                                                cfg.dx, cfg.dy
+                                                ).astype(q.dtype)
+                topo_d = jnp.where(i == 0, topo, topo_r)
+            else:
+                topo_d = topo
+
+            Xf = (_features(q, topo_d, extra).reshape(nfeat, -1).T
                   / Xscale[None, :])
             Xc = Xf[cand_idx]
 
@@ -121,15 +155,24 @@ def make_advance_fn(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates):
             needs = jnp.stack(needs_l)
             need_any = jnp.any(needs)
 
-            q_new, _ = step_core(q, topo, extra, dt, step0 + i, gp_state)
+            q_new, p_last = step_core(q, topo_d, extra, dt, step0 + i,
+                                      gp_state)
+            if elastic_fns is not None:
+                # host topo.update() after the step: pass-2 pressure,
+                # shifted for half/none periodicity, under-relaxed into
+                # the carried (unshifted) u_prev state
+                p = p_last - (p_last[0, 0] if shift_ref else 0.)
+                u_rel = ((1. - alpha_ur) * u
+                         + alpha_ur * hs_deform(p.astype(u.dtype)))
+                u = jnp.where(need_any, u, u_rel)
             q = jnp.where(need_any, q, q_new)
             i = jnp.where(need_any, i, i + 1)
-            return (q, pauses, i, needs)
+            return (q, u, pauses, i, needs)
 
-        init = (q, pauses, jnp.asarray(0, jnp.int32),
+        init = (q, u, pauses, jnp.asarray(0, jnp.int32),
                 jnp.zeros((len(keys),), bool))
-        q, pauses, i, needs = lax.while_loop(cond, body, init)
-        return q, i, needs, pauses
+        q, u, pauses, i, needs = lax.while_loop(cond, body, init)
+        return q, u, i, needs, pauses
 
     return advance
 
@@ -155,9 +198,6 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
     specs = _surrogate_specs(problem)
     if not specs:
         raise ValueError("no GP surrogates on this problem")
-    if problem.topo.elastic:
-        raise ValueError("run_steps_gp_chunked does not cover elastic "
-                         "problems (frozen topography)")
 
     models = {k: m for k, m in zip(_KEYS, (problem.pressure,
                                            problem.wall_stress_xz,
@@ -178,13 +218,49 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
         n_candidates = max(int(getattr(m, "al_candidates", 0) or 0)
                            for m in models.values())
 
-    advance = make_advance_fn(cfg, tuple(specs.items()), dims3, nfeat,
-                              use3, ncells, int(n_candidates))
+    elastic = problem.topo.elastic
+    if elastic:
+        ed = problem.topo.ElasticDeformation
+        shift_ref = ed.periodicity in ("half", "none")
+        key = (tuple(specs.items()), dims3, nfeat, use3, ncells,
+               int(n_candidates))
+        cache = getattr(problem, "_chunked_advance_cache", None)
+        if cache is None or cache[0] != key:
+            advance = _build_advance(
+                cfg, tuple(specs.items()), dims3, nfeat, use3, ncells,
+                int(n_candidates),
+                (ed.deformation_full,
+                 np.asarray(problem.topo.h_undeformed),
+                 float(ed.alpha_underrelax), shift_ref))
+            problem._chunked_advance_cache = (key, advance)
+        else:
+            advance = cache[1]
+        u = jnp.asarray(ed.u_prev)
+    else:
+        advance = make_advance_fn(cfg, tuple(specs.items()), dims3, nfeat,
+                                  use3, ncells, int(n_candidates))
+        u = jnp.zeros((1, 1), dtype)
 
     q = jnp.asarray(problem.q, dtype)
     topo = jnp.asarray(problem.topo.full, dtype)
     extra = jnp.asarray(problem.fc.get_real_field("extra").p, dtype)
     dt = jnp.asarray(problem.dt, dtype)
+
+    def _sync_state(total_steps):
+        """Mirror the device state into the host fields (the host
+        variance/acquisition path reads them).  The topography is only
+        rewritten once a step has actually advanced: before the first
+        ever ``topo.update()`` the host field still carries the
+        geometry's ANALYTIC gradients, which the ``h`` setter would
+        clobber with numerical ones."""
+        problem.q[...] = np.asarray(q)
+        if elastic and total_steps > 0:
+            u_np = np.asarray(u)
+            ed.u_prev = jnp.asarray(u_np)
+            shift = u_np[0, 0] if shift_ref else 0.
+            problem.topo.deformation = u_np - shift
+            # h setter refreshes the gradients (host update() sequencing)
+            problem.topo.h = problem.topo.h_undeformed + (u_np - shift)
 
     steps_done = 0
     n_acquired = 0
@@ -196,9 +272,13 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
         cap = capacity or _next_capacity(db.size + 1)
         gps, pauses = init_gp_states(problem, cap)
         Yscales = {k: jnp.asarray(models[k].Yscale, dtype) for k in specs}
+        if elastic:
+            # the advance's i == 0 topography is the host field verbatim
+            # (refreshed by _sync_state after the last exit)
+            topo = jnp.asarray(problem.topo.full, dtype)
 
-        q, steps, needs, pauses = advance(
-            q, topo, extra, gps, pauses,
+        q, u, steps, needs, pauses = advance(
+            q, topo, extra, u, gps, pauses,
             jnp.asarray(db.X_scale, dtype), Yscales,
             jnp.asarray(problem.step + steps_done, jnp.int32), dt,
             jnp.asarray(n_steps - steps_done, jnp.int32),
@@ -228,8 +308,9 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
 
         # the HOST decides, with its own dense variance path — exactly
         # models/gp.py predict(): sync the device state into the fields
-        # first so Xtest reflects the contested step's q
-        problem.q[...] = np.asarray(q)
+        # first so Xtest reflects the contested step's q (and, for
+        # elastic problems, its topography)
+        _sync_state(problem.step + steps_done)
         cand = m._candidate_indices() if spec.use_al else None
         if cand is None:
             m._infer(compute_var=True)
@@ -262,7 +343,7 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
                 mm._train(reason=0)
 
     # write back (host bookkeeping: one predictor pass per step)
-    problem.q[...] = np.asarray(q)
+    _sync_state(problem.step + steps_done)
     for m in models.values():
         m._step += n_steps
         m.cond_gp = None

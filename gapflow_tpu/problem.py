@@ -831,6 +831,13 @@ class Problem:
         io_callback support, so it runs on tunneled/proxied TPU runtimes,
         and its results match the host path (tests/test_al_chunked.py).
 
+        Elastic problems compose: the compiled advance rebuilds the
+        topography from the carried deformation each step and deforms
+        from the pass-2 pressure after it — the host ``topo.update()``
+        protocol (multiscale EHL, reference problem.py:565-569 +
+        topography.py:424-441), verified step-for-step in
+        tests/test_al_chunked.py.
+
         Returns the number of acquisitions.
         """
         from .core.al_chunked import run_gp_al_chunked

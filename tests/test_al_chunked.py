@@ -145,3 +145,48 @@ def test_chunked_pause_budget(tmp_path):
     assert p_chun.pressure._pause == p_host.pressure._pause
     assert p_chun.wall_stress_xz._pause == p_host.wall_stress_xz._pause
     np.testing.assert_allclose(p_chun.q, p_host.q, rtol=1e-6, atol=1e-10)
+
+
+def _sim_elastic(tmp_path, tag, atol, al):
+    return _sim(tmp_path, tag, atol, al).replace(
+        "    rho0: 0.8",
+        """    rho0: 0.8
+    elastic:
+        E: 100.
+        v: 0.3
+        alpha_underrelax: 1e-02""")
+
+
+def test_chunked_elastic_matches_host_protocol(tmp_path):
+    """Multiscale EHL: GP closures + per-step elastic deformation in the
+    compiled advance equal the host update() trajectory step-for-step
+    (deformation state included)."""
+    n = 6
+
+    p_host = Problem.from_string(_sim_elastic(tmp_path, "ehost", 1.e-3,
+                                              "True"))
+    p_host._pre_run()
+    p_chun = Problem.from_string(_sim_elastic(tmp_path, "echun", 1.e-3,
+                                              "True"))
+    p_chun._pre_run()
+    assert p_chun.topo.elastic
+
+    for _ in range(n):
+        p_host.update()
+    n_acq = p_chun.run_steps_gp_chunked(n)
+
+    assert p_chun.database.size == p_host.database.size
+    assert p_chun.step == p_host.step == n
+    np.testing.assert_allclose(p_chun.q, p_host.q, rtol=1e-6, atol=1e-10)
+    # the carried deformation state must match the host ElasticDeformation;
+    # the deformation is ~3e-7 in magnitude while the padded-device vs
+    # dense-host GP evaluation carries ~1e-9 fp noise (same absolute scale
+    # as in q), so the bound is absolute, not relative
+    np.testing.assert_allclose(
+        np.asarray(p_chun.topo.ElasticDeformation.u_prev),
+        np.asarray(p_host.topo.ElasticDeformation.u_prev),
+        rtol=1e-6, atol=5e-9)
+    np.testing.assert_allclose(np.asarray(p_chun.topo.full),
+                               np.asarray(p_host.topo.full),
+                               rtol=1e-6, atol=5e-9)
+    assert n_acq >= 0
