@@ -293,7 +293,12 @@ def sanitize_properties(d):
             out["thinning"][key] = float(d["thinning"].get(key, default))
 
     if "elastic" in d:
-        fft_grid = str(d["elastic"].get("fft_grid", "ghost"))
+        # default "interior": the physically consistent convention (elastic
+        # cell size exactly dx) whose smooth FFT sizes stay on the TPU fast
+        # path; "ghost" reproduces the reference's Nx+2-point convention
+        # verbatim (see elastic.ElasticDeformation for the equivalence
+        # argument; tests/test_elastic.py measures the O(1/N) difference)
+        fft_grid = str(d["elastic"].get("fft_grid", "interior"))
         assert fft_grid in ("ghost", "interior"), \
             "elastic: fft_grid must be 'ghost' (reference parity) or " \
             "'interior' (TPU-fast: FFT on the Nx x Ny interior grid)"

@@ -128,26 +128,28 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp,
     def _pallas_route(q, gp_state):
         """Fused Pallas GP kernel on TPU for covered configurations (the
         flagship periodic multiscale runs) — 2.5-3x the XLA assembly,
-        f32-identical output (verified on hardware).  The per-train-point
-        accumulation is unrolled, so very large capacities stay on the
-        XLA path (compile-time guard)."""
+        f32-identical output (verified on hardware).  Small capacities
+        take the unrolled per-point accumulation; larger ones the
+        capacity-tiled MXU formulation (ops.stencil_gp._gp_all_mxu), so
+        every padded capacity routes to the kernel."""
         from ..ops.stencil_gp import gp_kernel_supported
         nx, ny = q.shape[1] - 2, q.shape[2] - 2
-        caps = [gp_state[f"Xfit_{k}"].shape[0] for k, u in
-                zip(("z", "x", "y"), use_gp) if u]
         return (allow_pallas
                 and jax.default_backend() != "cpu"
                 and q.dtype == jnp.float32
                 and nx % 8 == 0
-                and max(caps, default=0) <= 256
                 and gp_kernel_supported(cfg, ny, active_dims, use_gp))
+
+    def _caps(gp_state):
+        return tuple(gp_state[f"Xfit_{k}"].shape[0] if u else 0
+                     for k, u in zip(("z", "x", "y"), use_gp))
 
     def step(q, topo, extra, dt, step_idx, gp_state):
         if _pallas_route(q, gp_state):
             from ..ops.stencil_gp import make_pallas_gp_step_fn
             nx, ny = q.shape[1] - 2, q.shape[2] - 2
             kstep = make_pallas_gp_step_fn(cfg, active_dims, num_features,
-                                           use_gp, nx, ny)
+                                           use_gp, nx, ny, _caps(gp_state))
             return kstep(q, topo, extra, dt, step_idx, gp_state)
         q0 = q
 

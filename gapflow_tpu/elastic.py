@@ -165,23 +165,33 @@ class ElasticDeformation:
     """
 
     def __init__(self, E, v, alpha_underrelax, grid, n_images,
-                 fft_grid="ghost"):
+                 fft_grid="interior"):
         self.area_per_cell = grid["dx"] * grid["dy"]
-        # fft_grid="ghost" (default): ghost-INCLUSIVE grid points with
-        # INTERIOR physical sizes — the reference's own convention
-        # (GaPFlow/topography.py:357: Nx+2 points, physical_sizes=(Lx, Ly)),
-        # reproduced verbatim for parity: the elastic kernel cell size is
+        # fft_grid="interior" (default): the FFT runs on the Nx x Ny
+        # INTERIOR grid — the physically consistent domain (cell size
+        # exactly dx) — whose smooth production sizes keep the native TPU
+        # FFT on its fast path (the ghost-inclusive Nx+2 usually carries
+        # a large prime factor; the mixed-radix escape is ~3x slower than
+        # a smooth-size rfft2).  The ghost ring of the returned
+        # deformation is filled per-axis: periodic wrap on periodic axes,
+        # edge replication otherwise.
+        #
+        # fft_grid="ghost" (reference-parity opt-in): ghost-INCLUSIVE
+        # grid points with INTERIOR physical sizes — the reference's own
+        # convention (GaPFlow/topography.py:357: Nx+2 points,
+        # physical_sizes=(Lx, Ly)): the elastic kernel cell size is
         # Lx/(Nx+2), slightly smaller than the solver's dx = Lx/Nx,
         # exactly as upstream.
         #
-        # fft_grid="interior" (TPU-fast opt-in): the FFT runs on the
-        # Nx x Ny INTERIOR grid — the physically consistent domain (cell
-        # size exactly dx) — whose power-of-two production sizes keep the
-        # native TPU FFT on its fast path (the ghost-inclusive Nx+2
-        # usually carries a large prime factor; the mixed-radix escape is
-        # ~3x slower than a smooth-size rfft2).  The ghost ring of the
-        # returned deformation is filled per-axis: periodic wrap on
-        # periodic axes, edge replication otherwise.
+        # EQUIVALENCE: both conventions discretize the same Boussinesq
+        # half-space and differ only at O(1/N) — (a) the ghost grid's
+        # cell size understates dx by the factor Nx/(Nx+2), scaling every
+        # wavevector (and hence 1/|q| kernel weight) by 1 + O(1/N); (b)
+        # the ghost ring duplicates the wrap/edge pressures, a
+        # perimeter-area effect O(1/N).  The continuum limit is
+        # identical; tests/test_elastic.py::test_fft_grid_convergence
+        # measures the first-order decay of the difference and the common
+        # limit against the analytic periodic response.
         self.fft_grid = fft_grid
         if fft_grid == "interior":
             nx, ny = grid["Nx"], grid["Ny"]

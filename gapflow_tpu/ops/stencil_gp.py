@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,6 +53,14 @@ def gp_kernel_supported(cfg, ny, active_dims, use_gp):
         if used and (dims is None or any(d >= 7 for d in dims)):
             return False
     return True
+
+
+# Capacity at or below which the unrolled per-point accumulation is used;
+# larger training sets take the capacity-tiled MXU formulation (matmul
+# r^2 + tiled Matern + matmul accumulation), which scales to >=2048.
+UNROLL_CAP = 64
+# Capacity-tile height of the MXU formulation (train points per tile).
+MXU_TILE = 256
 
 
 def _features7(q0, q1, q2, st):
@@ -83,6 +92,59 @@ def _gp_mean(feats, dims, coef, W, w2, alpha, n_out):
     return acc
 
 
+def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
+    """Capacity-tiled MXU evaluation of ALL active surrogate means.
+
+    The three surrogates' contractions are batched into one MXU-shaped
+    product: per cell row, the augmented design row
+    ``[x_d..., x_d^2..., 1]`` (d over the union of active dims) hits the
+    augmented train matrix ``Waug`` whose column for train point (m, j)
+    is ``[-6 c_mi W_mji ..., 3 c_mi^2 ..., 3 w2_mj + 3e-14]`` — the
+    matmul emits ``3 r^2 + 3e-14 = arg^2`` directly (the Matern sqrt(3)
+    and the sqrt-smoothing epsilon folded in).  A short elementwise block
+    (sqrt, exp, fma) evaluates the Matern-3/2 kernel on the (tile, ny)
+    block in VMEM, and a second matmul against the block-diagonal
+    ``Aaug`` (amp and Yscale folded into alpha) accumulates the output
+    rows [p, xz_lo, xz_up, yz_lo, yz_up] into ``out_ref`` (8, rows, ny).
+
+    Unlike the unrolled path, compile time and VMEM are independent of
+    capacity: the tile loop is rolled, so padded capacities >= 2048 are
+    production-viable (matches the re-predict hot path
+    GaPFlow/models/gp.py:509-535 at database sizes the reference reaches).
+    """
+    rows, ny = feats[0].shape
+    Mtot = Waug_ref.shape[0]
+    n_t = Mtot // mt
+    fdu = [feats[d] for d in du]
+    fsq = [f * f for f in fdu]
+    ones = jnp.ones((1, ny), jnp.float32)
+
+    def body(rbi, carry):
+        r0 = pl.multiple_of(rbi * 8, 8)
+        blks = [lax.dynamic_slice_in_dim(f, r0, 8, axis=0) for f in fdu]
+        sqs = [lax.dynamic_slice_in_dim(f, r0, 8, axis=0) for f in fsq]
+        accs = []
+        for rr in range(8):
+            xaug = jnp.concatenate(
+                [b[rr:rr + 1] for b in blks]
+                + [s[rr:rr + 1] for s in sqs] + [ones], axis=0)
+            acc = jnp.zeros((8, ny), jnp.float32)
+            for t in range(n_t):
+                Wt = Waug_ref[pl.ds(t * mt, mt), :]
+                arg2 = jnp.dot(Wt, xaug,
+                               preferred_element_type=jnp.float32)
+                arg = jnp.sqrt(jnp.maximum(arg2, 3e-14))
+                e = jnp.exp(-arg)
+                km = e + arg * e
+                acc = acc + jnp.dot(Aaug_ref[:, pl.ds(t * mt, mt)], km,
+                                    preferred_element_type=jnp.float32)
+            accs.append(acc)
+        out_ref[:, pl.ds(r0, 8), :] = jnp.stack(accs, axis=1)
+        return carry
+
+    lax.fori_loop(0, rows // 8, body, 0)
+
+
 def _one_pass_gp(cfg, gpspec, q0, q1, q2, st, dt, d, gp_ops):
     """One MacCormack pass with GP-surrogate closures (periodic layout).
 
@@ -92,10 +154,18 @@ def _one_pass_gp(cfg, gpspec, q0, q1, q2, st, dt, d, gp_ops):
     dims_z, dims_x, dims_y = gpspec["dims"]
     gpz, gpx, gpy = gpspec["use"]
     feats = _features7(q0, q1, q2, st)
+    mxu = gpspec.get("mode") == "mxu"
+
+    if mxu:
+        Waug, Aaug, gp_out, du, mt = gp_ops
+        _gp_all_mxu(feats, du, Waug, Aaug, gp_out, mt)
 
     if gpz:
-        cz, Wz, w2z, az = gp_ops["z"]
-        (p,) = _gp_mean(feats, dims_z, cz, Wz, w2z, az, 1)
+        if mxu:
+            p = gp_out[0]
+        else:
+            cz, Wz, w2z, az = gp_ops["z"]
+            (p,) = _gp_mean(feats, dims_z, cz, Wz, w2z, az, 1)
     else:
         p = eos_pressure(q0, cfg.prop)
     eta = _eta_fused(cfg, q0, p)
@@ -115,15 +185,21 @@ def _one_pass_gp(cfg, gpspec, q0, q1, q2, st, dt, d, gp_ops):
             su_det = -e2g * (3. * q1 - Ur)
             sl_det = e2g * (Ls6 * (q1 - Ur)
                             + H * (3. * q1 - 2. * Ur)) * inv_h
-            cx, Wx, w2x, axw = gp_ops["x"]
-            lo, up = _gp_mean(feats, dims_x, cx, Wx, w2x, axw, 2)
+            if mxu:
+                lo, up = gp_out[1], gp_out[2]
+            else:
+                cx, Wx, w2x, axw = gp_ops["x"]
+                lo, up = _gp_mean(feats, dims_x, cx, Wx, w2x, axw, 2)
             S1 = S1 + ((up - su_det) - (lo - sl_det)) * inv_h
         if gpy:
             su_det = -e2g * (3. * q2 - Vr)
             sl_det = e2g * (Ls6 * (q2 - Vr)
                             + H * (3. * q2 - 2. * Vr)) * inv_h
-            cy, Wy, w2y, ayw = gp_ops["y"]
-            lo, up = _gp_mean(feats, dims_y, cy, Wy, w2y, ayw, 2)
+            if mxu:
+                lo, up = gp_out[3], gp_out[4]
+            else:
+                cy, Wy, w2y, ayw = gp_ops["y"]
+                lo, up = _gp_mean(feats, dims_y, cy, Wy, w2y, ayw, 2)
             S2 = S2 + ((up - su_det) - (lo - sl_det)) * inv_h
 
     rdx = 1. / cfg.dx
@@ -145,19 +221,24 @@ def _kernel_fused_gp(cfg, gpspec, bs, ny, d0, d1,
                      dt_ref, q_hbm, st_hbm, *refs):
     """Per-strip GP-closed MacCormack step (both passes + average).
 
-    refs layout: per active model (z, x, y): coef, W, w2, alpha (VMEM);
-    then outputs (q out block, p out block) and scratch (q_loc, st_loc,
-    sems)."""
-    n_models = sum(gpspec["use"])
-    gp_arrs = refs[:4 * n_models]
-    out_q, out_p, q_loc, st_loc, sems = refs[4 * n_models:]
+    refs layout, unroll mode: per active model (z, x, y): coef, W, w2,
+    alpha (VMEM); then outputs (q out block, p out block) and scratch
+    (q_loc, st_loc, sems).  mxu mode: Waug, Aaug (VMEM); outputs; then
+    scratch (q_loc, st_loc, gp_out, sems)."""
+    if gpspec.get("mode") == "mxu":
+        Waug, Aaug, out_q, out_p, q_loc, st_loc, gp_out, sems = refs
+        gp_ops = (Waug, Aaug, gp_out, gpspec["du"], gpspec["mt"])
+    else:
+        n_models = sum(gpspec["use"])
+        gp_arrs = refs[:4 * n_models]
+        out_q, out_p, q_loc, st_loc, sems = refs[4 * n_models:]
 
-    gp_ops = {}
-    k = 0
-    for key, used in zip(("z", "x", "y"), gpspec["use"]):
-        if used:
-            gp_ops[key] = tuple(gp_arrs[4 * k:4 * k + 4])
-            k += 1
+        gp_ops = {}
+        k = 0
+        for key, used in zip(("z", "x", "y"), gpspec["use"]):
+            if used:
+                gp_ops[key] = tuple(gp_arrs[4 * k:4 * k + 4])
+                k += 1
 
     i = pl.program_id(0)
     x0 = pl.multiple_of(i * bs, 8)
@@ -206,14 +287,81 @@ def _prep_gp_ops(gp_state, dims, key):
     return coef, W, w2, a
 
 
+# Output-row layout of the batched (mxu) formulation.
+_OUT_ROWS = {"z": (0,), "x": (1, 2), "y": (3, 4)}
+
+
+def _mxu_spec(active_dims, use_gp, caps):
+    """Static layout of the batched train matrix: (du, Mtot, mt)."""
+    du = tuple(sorted(set().union(
+        *(dims for dims, used in zip(active_dims, use_gp) if used))))
+    raw = sum(c for c, used in zip(caps, use_gp) if used)
+    mt = min(MXU_TILE, ((raw + 7) // 8) * 8)
+    Mtot = ((raw + mt - 1) // mt) * mt
+    return du, Mtot, mt
+
+
+def _prep_gp_ops_mxu(gp_state, active_dims, use_gp, du, Mtot):
+    """XLA-side assembly of the batched augmented train arrays.
+
+    Waug: (Mtot, 2*len(du)+1) with column blocks per active model (see
+    :func:`_gp_all_mxu`); Aaug: (8, Mtot) block-diagonal alpha with amp
+    and Yscale folded in (rows 5..7 zero padding).  Padding train rows
+    are all-zero: their matmul emits arg2 = 0 and alpha 0 annihilates the
+    kernel value.
+    """
+    nd = len(du)
+    pos = {d: i for i, d in enumerate(du)}
+    W_blocks, A_blocks = [], []
+    for key, dims, used in zip(("z", "x", "y"), active_dims, use_gp):
+        if not used:
+            continue
+        params = gp_state[f"params_{key}"]
+        Xfit = gp_state[f"Xfit_{key}"]
+        alpha = gp_state[f"alpha_{key}"]
+        inv_ls = jnp.exp(-params["log_scale"])
+        amp = jnp.exp(params["log_amp"])
+        c = inv_ls / gp_state["Xscale"][jnp.asarray(dims)]      # (d,)
+        Wm = Xfit * inv_ls[None, :]                             # (cap, d)
+        w2 = jnp.sum(Wm * Wm, axis=1)                           # (cap,)
+        cap = Xfit.shape[0]
+
+        blk = jnp.zeros((cap, 2 * nd + 1), Wm.dtype)
+        for i, dim in enumerate(dims):
+            blk = blk.at[:, pos[dim]].set(-6. * c[i] * Wm[:, i])
+            blk = blk.at[:, nd + pos[dim]].set(3. * c[i] * c[i])
+        blk = blk.at[:, 2 * nd].set(3. * w2 + 3e-14)
+        W_blocks.append(blk)
+
+        a = alpha if alpha.ndim == 2 else alpha[:, None]
+        a = a * (amp * gp_state[f"Yscale_{key}"])               # (cap, n_out)
+        ab = jnp.zeros((cap, 8), a.dtype)
+        for m, row in enumerate(_OUT_ROWS[key]):
+            ab = ab.at[:, row].set(a[:, m])
+        A_blocks.append(ab)
+
+    Waug = jnp.concatenate(W_blocks, axis=0)
+    Aaug = jnp.concatenate(A_blocks, axis=0)
+    pad = Mtot - Waug.shape[0]
+    if pad:
+        Waug = jnp.pad(Waug, ((0, pad), (0, 0)))
+        Aaug = jnp.pad(Aaug, ((0, pad), (0, 0)))
+    return Waug, Aaug.T
+
+
 def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
-                           nx, ny, bs=None, dtype=jnp.float32):
+                           nx, ny, caps, bs=None, dtype=jnp.float32):
     """Unjitted ``step(q, topo, extra, dt, step_idx, gp_state)`` with the
     same contract as core.gp_step.make_gp_step_core, running the fused
     Pallas kernel.  MC_order must be static (pallas_supported enforces
-    it), so step_idx is ignored."""
+    it), so step_idx is ignored.  ``caps`` are the static per-model
+    padded capacities (z, x, y) of the gp_state buffers: capacities up to
+    UNROLL_CAP take the unrolled per-point accumulation, larger ones the
+    capacity-tiled MXU formulation (compile time and VMEM independent of
+    capacity)."""
     if not gp_kernel_supported(cfg, ny, active_dims, use_gp):
         raise ValueError("GP Pallas kernel does not cover this config")
+    mxu = max(c for c, u in zip(caps, use_gp) if u) > UNROLL_CAP
     if bs is None:
         # smaller strip budget than the det kernels: the GP accumulation
         # holds extra live per-cell temporaries (scaled features, x2,
@@ -229,6 +377,16 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     gpspec = {"dims": active_dims, "use": use_gp}
     n_models = sum(use_gp)
+    scratch = [pltpu.VMEM((3, rows, ny), dtype),
+               pltpu.VMEM((N_STATIC, rows, ny), dtype)]
+    if mxu:
+        du, Mtot, mt = _mxu_spec(active_dims, use_gp, caps)
+        gpspec.update(mode="mxu", du=du, mt=mt)
+        n_gp_arrs = 2
+        scratch.append(pltpu.VMEM((8, rows, ny), dtype))
+    else:
+        n_gp_arrs = 4 * n_models
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     kern = partial(_kernel_fused_gp, cfg, gpspec, bs, ny, d0, d1)
 
@@ -241,11 +399,16 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
             _extend_interior(topo.astype(dtype)[:3, 1:-1, 1:-1]),
             _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
 
-        gp_arrs = []
-        for key, dims, used in zip(("z", "x", "y"), active_dims, use_gp):
-            if used:
-                gp_arrs.extend(a.astype(dtype)
-                               for a in _prep_gp_ops(gp_state, dims, key))
+        if mxu:
+            gp_arrs = [a.astype(dtype) for a in _prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot)]
+        else:
+            gp_arrs = []
+            for key, dims, used in zip(("z", "x", "y"), active_dims,
+                                       use_gp):
+                if used:
+                    gp_arrs.extend(a.astype(dtype) for a in
+                                   _prep_gp_ops(gp_state, dims, key))
 
         out_q, out_p = pl.pallas_call(
             kern,
@@ -253,18 +416,14 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)]
                      + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                     * (4 * n_models),
+                     * n_gp_arrs,
             out_specs=[pl.BlockSpec((3, bs, ny), lambda i: (0, i, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((bs, ny), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)],
             out_shape=[jax.ShapeDtypeStruct((3, nx, ny), dtype),
                        jax.ShapeDtypeStruct((nx, ny), dtype)],
-            scratch_shapes=[
-                pltpu.VMEM((3, rows, ny), dtype),
-                pltpu.VMEM((N_STATIC, rows, ny), dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
             grid=grid,
             compiler_params=params,
         )(dt, q_ext, stat_ext, *gp_arrs)
@@ -274,3 +433,172 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
         return q_new, p_full
 
     return step
+
+
+def _kernel_gp_vmem(cfg, gpspec, bs, nx, n_steps, d0, d1,
+                    dt_ref, q_hbm, st_hbm, *refs):
+    """Whole-run-in-VMEM GP-closed loop (the det _kernel_fused_vmem
+    structure with GP-surrogate closures): the halo-extended state
+    ping-pongs between two VMEM buffers, the statics and (tiny) GP train
+    arrays stay VMEM-resident, and the entire n-step GP-closed run
+    touches HBM exactly twice.  This is the temporal whole-run analogue
+    of the det kernel family for the flagship multiscale mode — the
+    production path for converged/paused surrogates (active learning
+    re-enters through core.al_chunked).  Grid = (n_steps, n_strips)."""
+    if gpspec.get("mode") == "mxu":
+        Waug, Aaug, out_hbm, qA, qB, st_loc, gp_out, sems = refs
+        gp_ops = (Waug, Aaug, gp_out, gpspec["du"], gpspec["mt"])
+    else:
+        n_models = sum(gpspec["use"])
+        gp_arrs = refs[:4 * n_models]
+        out_hbm, qA, qB, st_loc, sems = refs[4 * n_models:]
+        gp_ops = {}
+        k = 0
+        for key, used in zip(("z", "x", "y"), gpspec["use"]):
+            if used:
+                gp_ops[key] = tuple(gp_arrs[4 * k:4 * k + 4])
+                k += 1
+
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    n_strips = pl.num_programs(1)
+
+    @pl.when((s == 0) & (i == 0))
+    def _():
+        cq = pltpu.make_async_copy(q_hbm, qA, sems.at[0])
+        cs = pltpu.make_async_copy(st_hbm, st_loc, sems.at[1])
+        cq.start()
+        cs.start()
+        cq.wait()
+        cs.wait()
+
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+    dt = dt_ref[0]
+    sl = slice(HALO_X, HALO_X + bs)
+
+    def advance(qin, qout):
+        st = tuple(st_loc[c, pl.ds(x0, rows), :] for c in range(N_STATIC))
+        q0_0 = qin[0, pl.ds(x0, rows), :]
+        q1_0 = qin[1, pl.ds(x0, rows), :]
+        q2_0 = qin[2, pl.ds(x0, rows), :]
+        a, b, c, _ = _one_pass_gp(cfg, gpspec, q0_0, q1_0, q2_0, st, dt,
+                                  d0, gp_ops)
+        a, b, c, _ = _one_pass_gp(cfg, gpspec, a, b, c, st, dt, d1,
+                                  gp_ops)
+        for ci, (val, q00) in enumerate(((a, q0_0), (b, q1_0), (c, q2_0))):
+            out = (val[sl] + q00[sl]) / 2.
+            qout[ci, pl.ds(HALO_X + x0, bs), :] = out
+
+            # halo duplication (periodic wrap lives in the array layout)
+            @pl.when(i == 0)
+            def _(out=out, ci=ci):
+                qout[ci, pl.ds(nx + HALO_X, HALO_X), :] = out[:HALO_X]
+
+            @pl.when(i == n_strips - 1)
+            def _(out=out, ci=ci):
+                qout[ci, pl.ds(0, HALO_X), :] = out[bs - HALO_X:]
+
+    @pl.when(s % 2 == 0)
+    def _():
+        advance(qA, qB)
+
+    @pl.when(s % 2 == 1)
+    def _():
+        advance(qB, qA)
+
+    @pl.when((s == n_steps - 1) & (i == n_strips - 1))
+    def _():
+        src = qB if (n_steps - 1) % 2 == 0 else qA
+        cp = pltpu.make_async_copy(src, out_hbm, sems.at[2])
+        cp.start()
+        cp.wait()
+
+
+def gp_loop_vmem_fits(cfg, nx, ny, dtype=jnp.float32):
+    """Whether the ping-pong state + statics + GP scratch fit VMEM."""
+    ext_bytes = (nx + 2 * HALO_X) * ny * jnp.dtype(dtype).itemsize
+    # 6 state channels + statics resident; ~70 bs*ny live per-cell
+    # temporaries (pass working set + GP tile block)
+    need = (6 + N_STATIC + 8) * ext_bytes + 80 * 4 * min(nx, 256) * ny
+    return need < 90 * 1024 * 1024
+
+
+def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
+                           nx, ny, caps, n_steps, bs=None,
+                           dtype=jnp.float32):
+    """Unjitted whole-run GP-closed loop: ``loop(q, topo, extra, dt,
+    gp_state) -> q`` advancing ``n_steps`` (static) fixed-dt GP-surrogate
+    timesteps in ONE pallas_call with the state resident in VMEM.
+
+    Matches make_gp_step_core's per-step output exactly (same pass
+    bodies); the wrapper re-derives the final pressure host-side.
+    """
+    if not gp_kernel_supported(cfg, ny, active_dims, use_gp):
+        raise ValueError("GP Pallas kernel does not cover this config")
+    if not gp_loop_vmem_fits(cfg, nx, ny, dtype):
+        raise ValueError("state does not fit the whole-run VMEM budget")
+    mxu = max(c for c, u in zip(caps, use_gp) if u) > UNROLL_CAP
+    if bs is None:
+        bs = max(8, min(nx, ((64 * 1024) // ny) // 8 * 8))
+        while nx % bs and bs > 8:
+            bs -= 8
+    bs = min(bs, nx)
+    assert nx % bs == 0 and bs % 8 == 0
+    rows = bs + 2 * HALO_X
+    d0, d1 = mc_directions(cfg.MC_order)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    gpspec = {"dims": active_dims, "use": use_gp}
+    n_models = sum(use_gp)
+    ext_shape = (3, nx + 2 * HALO_X, ny)
+    scratch = [pltpu.VMEM(ext_shape, dtype),
+               pltpu.VMEM(ext_shape, dtype),
+               pltpu.VMEM((N_STATIC,) + ext_shape[1:], dtype)]
+    if mxu:
+        du, Mtot, mt = _mxu_spec(active_dims, use_gp, caps)
+        gpspec.update(mode="mxu", du=du, mt=mt)
+        n_gp_arrs = 2
+        scratch.append(pltpu.VMEM((8, rows, ny), dtype))
+    else:
+        Mtot = None
+        n_gp_arrs = 4 * n_models
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+
+    kern = partial(_kernel_gp_vmem, cfg, gpspec, bs, nx, n_steps, d0, d1)
+
+    def loop(q, topo, extra, dt, gp_state):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        q_ext = _extend_interior(q[:, 1:-1, 1:-1])
+        stat_ext = _statics_ghosted(
+            _extend_interior(topo.astype(dtype)[:3, 1:-1, 1:-1]),
+            _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
+
+        if mxu:
+            gp_arrs = [a.astype(dtype) for a in _prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot)]
+        else:
+            gp_arrs = []
+            for key, dims, used in zip(("z", "x", "y"), active_dims,
+                                       use_gp):
+                if used:
+                    gp_arrs.extend(a.astype(dtype) for a in
+                                   _prep_gp_ops(gp_state, dims, key))
+
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                     * n_gp_arrs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(ext_shape, dtype),
+            scratch_shapes=scratch,
+            grid=(n_steps, nx // bs),
+            compiler_params=params,
+        )(dt, q_ext, stat_ext, *gp_arrs)
+
+        return _reassemble(q, out[:, HALO_X:HALO_X + nx, :])
+
+    return loop

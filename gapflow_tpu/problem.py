@@ -852,6 +852,120 @@ class Problem:
         return run_gp_al_chunked(self, n, capacity=capacity,
                                  n_candidates=n_candidates)
 
+    def run_steps_gp_fast(self, n, capacity=None, chunk=512):
+        """Advance ``n`` fixed-dt GP-closed steps with FROZEN surrogates
+        as whole-run compiled loops — the temporal-blocked production
+        path for the flagship multiscale mode.
+
+        Semantics match the reference's predict() with active learning
+        off and an unchanged database (GaPFlow/models/gp.py:435-465): the
+        cached (hyperparameters, alpha) re-predict closes every step, no
+        retraining occurs.  Surrogates with ``active_learning: True``
+        must go through :meth:`run_steps_gp_chunked` (host-protocol
+        acquisitions) instead.
+
+        On TPU-covered configurations (fully periodic, f32, no thinning)
+        the run advances in ``chunk``-step whole-run-in-VMEM Pallas
+        kernels (ops.stencil_gp.make_pallas_gp_loop_fn): the state
+        ping-pongs in VMEM and HBM is touched twice per chunk.  Other
+        configurations scan the fused XLA GP step on-device.  Syncs q and
+        the pressure field afterwards.
+        """
+        from .core.al_chunked import _next_capacity
+        from .core.al_loop import _surrogate_specs, init_gp_states
+        from .core.gp_step import make_gp_step_core
+        import jax as _jax
+
+        if not self.has_gp_model:
+            raise RuntimeError("run_steps_gp_fast requires GP surrogates")
+        if self.step is None:
+            self._pre_run()
+        if self.numerics["adaptive"]:
+            raise RuntimeError("run_steps_gp_fast uses a fixed dt")
+        if self.topo.elastic:
+            raise RuntimeError("run_steps_gp_fast keeps the topography "
+                               "frozen; elastic GP problems take "
+                               "run_steps_gp_chunked")
+        specs = _surrogate_specs(self)
+        if any(s.use_al for s in specs.values()):
+            raise RuntimeError(
+                "active learning is on; run_steps_gp_chunked runs the "
+                "host acquisition protocol with compiled stepping")
+
+        db = self.database
+        cap = capacity or _next_capacity(db.size)
+        gps, _ = init_gp_states(self, cap)
+        dtype = jnp.float32 if not _jax.config.jax_enable_x64 \
+            else jnp.asarray(self.q).dtype
+        gp_state = {"Xscale": jnp.asarray(db.X_scale, dtype)}
+        models = {"z": self.pressure, "x": self.wall_stress_xz,
+                  "y": self.wall_stress_yz}
+        for k, g in gps.items():
+            gp_state[f"params_{k}"] = {kk: v.astype(dtype)
+                                       for kk, v in g.params.items()}
+            gp_state[f"Xfit_{k}"] = g.X.astype(dtype)
+            gp_state[f"alpha_{k}"] = g.alpha.astype(dtype)
+            gp_state[f"Yscale_{k}"] = jnp.asarray(models[k].Yscale, dtype)
+
+        dims3 = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                      for m in (self.pressure, self.wall_stress_xz,
+                                self.wall_stress_yz))
+        use3 = tuple(m.is_gp_model for m in (self.pressure,
+                                             self.wall_stress_xz,
+                                             self.wall_stress_yz))
+        caps3 = tuple(cap if u else 0 for u in use3)
+        nf = db.num_features
+        cfg = self._solver_cfg
+        nx, ny = self.grid["Nx"], self.grid["Ny"]
+
+        q = jnp.asarray(self.q, dtype)
+        topo = jnp.asarray(self.topo.full, dtype)
+        extra = jnp.asarray(self.fc.get_real_field("extra").p, dtype)
+        dt = jnp.asarray(self.dt, dtype)
+
+        use_vmem_loop = False
+        if dtype == jnp.float32 and _jax.default_backend() != "cpu":
+            from .ops.stencil_gp import (gp_kernel_supported,
+                                         gp_loop_vmem_fits)
+            use_vmem_loop = (gp_kernel_supported(cfg, ny, dims3, use3)
+                             and gp_loop_vmem_fits(cfg, nx, ny, dtype))
+
+        if use_vmem_loop:
+            from .ops.stencil_gp import make_pallas_gp_loop_fn
+            done = 0
+            while done < n:
+                c = min(chunk, n - done)
+                loop = make_pallas_gp_loop_fn(cfg, dims3, nf, use3, nx,
+                                              ny, caps3, c, dtype=dtype)
+                q = _jax.jit(loop)(q, topo, extra, dt, gp_state)
+                done += c
+        else:
+            step_core = make_gp_step_core(cfg, dims3, nf, use3)
+
+            @_jax.jit
+            def scan_steps(q, dt, n_arr, gp_state):
+                def body(i, qq):
+                    qn, _ = step_core(qq, topo, extra, dt,
+                                      self.step + i, gp_state)
+                    return qn
+                return _jax.lax.fori_loop(0, n_arr, body, q)
+
+            q = scan_steps(q, dt, jnp.asarray(n, jnp.int32), gp_state)
+
+        self.q[...] = np.asarray(q)
+        # refresh the constitutive fields through the host predict path
+        # (cached dense conditioning) — bitwise the host trajectory's
+        # final write, unlike re-deriving p from the padded device alpha
+        self.pressure.update(predictor=False, compute_var=False)
+        self.wall_stress_xz.update(predictor=False, compute_var=False)
+        self.wall_stress_yz.update(predictor=False, compute_var=False)
+        self.bulk_stress.update()
+        for m in models.values():
+            if m.is_gp_model:
+                m._step += n
+        self.step += n
+        self.simtime += n * self.dt
+
     def _fast_run_eligible(self):
         """The chunked Pallas convergence run applies to float32 (x64 off)
         deterministic, non-elastic problems the fused kernel covers."""

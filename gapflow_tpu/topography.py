@@ -170,7 +170,7 @@ class Topography:
                 alpha_underrelax=prop["elastic"]["alpha_underrelax"],
                 grid=grid,
                 n_images=prop["elastic"]["n_images"],
-                fft_grid=prop["elastic"].get("fft_grid", "ghost"),
+                fft_grid=prop["elastic"].get("fft_grid", "interior"),
             )
         else:
             self.elastic = False

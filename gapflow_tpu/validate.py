@@ -347,7 +347,9 @@ def gp_kernel_parity(cap=16):
 
     from .ops.stencil_gp import make_pallas_gp_step_fn
     nx, ny = q.shape[1] - 2, q.shape[2] - 2
-    kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, nx, ny)
+    caps = tuple(gp_state[f"Xfit_{k}"].shape[0] if u else 0
+                 for k, u in zip(("z", "x", "y"), use))
+    kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, nx, ny, caps)
     qk, pk = kstep(q, topo, extra, dt, 0, gp_state)
     ref = make_gp_step_core(cfg, dims, nf, use, allow_pallas=False)
     qr, pr = ref(q, topo, extra, dt, 0, gp_state)

@@ -190,3 +190,28 @@ def test_chunked_elastic_matches_host_protocol(tmp_path):
                                np.asarray(p_host.topo.full),
                                rtol=1e-6, atol=5e-9)
     assert n_acq >= 0
+
+
+def test_gp_fast_matches_host_frozen(tmp_path):
+    """run_steps_gp_fast (frozen surrogates, whole-run compiled loops)
+    equals the host update() trajectory when active learning is off."""
+    n = 6
+
+    p_host = Problem.from_string(_sim(tmp_path, "fhost", 1.e-3, "False"))
+    p_host._pre_run()
+    p_fast = Problem.from_string(_sim(tmp_path, "ffast", 1.e-3, "False"))
+    p_fast._pre_run()
+
+    for _ in range(n):
+        p_host.update()
+    p_fast.run_steps_gp_fast(n)
+
+    assert p_fast.step == p_host.step == n
+    np.testing.assert_allclose(p_fast.q, p_host.q, rtol=1e-8, atol=1e-12)
+    # the host loop leaves the pressure field at the pass-2 evaluation of
+    # the last step's INTERMEDIATE state; the fast path refreshes it at
+    # the final averaged q — equal to O(dt * residual), not bitwise
+    np.testing.assert_allclose(
+        np.asarray(p_fast.fc.get_real_field("pressure").p),
+        np.asarray(p_host.fc.get_real_field("pressure").p),
+        rtol=1e-6)

@@ -97,7 +97,7 @@ def test_interior_fft_grid_periodic():
     ed_i = ElasticDeformation(E=E, v=0.0, alpha_underrelax=1.0,
                               grid=grid, n_images=0, fft_grid="interior")
     ed_g = ElasticDeformation(E=E, v=0.0, alpha_underrelax=1.0,
-                              grid=grid, n_images=0)
+                              grid=grid, n_images=0, fft_grid="ghost")
     assert ed_i.periodicity == "full"
 
     # exact spectral identity on the interior grid: u = 2 p / (E* q1)
@@ -162,8 +162,8 @@ properties:
 {extra}
 """
     us = {}
-    for mode, extra in (("ghost", ""),
-                        ("interior", "        fft_grid: interior")):
+    for mode, extra in (("ghost", "        fft_grid: ghost"),
+                        ("interior", "")):
         problem = Problem.from_string(base.format(extra=extra))
         problem._pre_run()
         assert problem.topo.ElasticDeformation.fft_grid == mode
@@ -258,3 +258,53 @@ properties:
     # pressure deformed the gap and gradients were updated
     assert np.any(problem.topo.h != h0)
     assert np.all(np.isfinite(problem.topo.dh_dx))
+
+
+def test_fft_grid_convergence():
+    """The ghost- and interior-grid conventions differ by O(1/N) and share
+    the continuum limit (the equivalence argument that makes 'interior'
+    the default; see ElasticDeformation.__init__).
+
+    A fixed smooth periodic pressure is evaluated at N, 2N, 4N: the
+    relative ghost-vs-interior difference must decay ~1/N, and both must
+    converge to the analytic periodic response u = 2 p0 cos(qx)/(E* q).
+    """
+    E = 1e4
+    Lx = Ly = 1.0
+    p0, k = 2.5, 2
+    qwave = 2. * np.pi * k / Lx
+
+    diffs, errs_i, errs_g = [], [], []
+    for N in (16, 32, 64, 128):
+        grid = {
+            "dx": Lx / N, "dy": Ly / N, "Nx": N, "Ny": N,
+            "Lx": Lx, "Ly": Ly,
+            "bc_xE_P": [True] * 3, "bc_yS_P": [True] * 3,
+        }
+        x = (np.arange(N) + 0.5) * Lx / N
+        p_int = p0 * np.cos(qwave * x)[:, None] * np.ones((1, N))
+        p_full = np.pad(p_int, 1, mode="wrap")
+        u_ana = 2. * p0 / (E * qwave) * np.cos(qwave * x)[:, None]
+
+        us = {}
+        for mode in ("interior", "ghost"):
+            ed = ElasticDeformation(E=E, v=0.0, alpha_underrelax=1.0,
+                                    grid=grid, n_images=0, fft_grid=mode)
+            us[mode] = np.asarray(ed.get_deformation(p_full))[1:-1, 1:-1]
+
+        scale = np.abs(u_ana).max()
+        diffs.append(np.abs(us["interior"] - us["ghost"]).max() / scale)
+        errs_i.append(np.abs(us["interior"] - u_ana).max() / scale)
+        errs_g.append(np.abs(us["ghost"] - u_ana).max() / scale)
+
+    # interior is spectrally exact for this single-mode field: the ghost
+    # convention is the one carrying O(1/N) discretization error
+    assert max(errs_i) < 1e-10
+    # ghost converges to the same limit at first order, so the mutual
+    # difference decays ~1/N (allow slack off the asymptotic 0.5 ratio);
+    # measured amplitude ~7/N (cell-size factor + wrap-padding leakage)
+    for a, b in zip(diffs, diffs[1:]):
+        assert b < 0.65 * a
+    for a, b in zip(errs_g, errs_g[1:]):
+        assert b < 0.65 * a
+    assert diffs[-1] < 0.07

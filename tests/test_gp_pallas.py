@@ -89,8 +89,12 @@ def _setup(with_shear, tmp):
     return problem, dims, use
 
 
-@pytest.mark.parametrize("with_shear", [False, True])
-def test_gp_pallas_step_matches_xla(with_shear, tmp_path):
+@pytest.mark.parametrize("with_shear,cap", [(False, 8), (True, 8),
+                                            (False, 96), (True, 96)])
+def test_gp_pallas_step_matches_xla(with_shear, cap, tmp_path):
+    """cap <= UNROLL_CAP exercises the unrolled per-point accumulation;
+    larger caps the capacity-tiled MXU formulation (batched 3-surrogate
+    augmented matmul)."""
     from jax.experimental.pallas import tpu as pltpu
     from gapflow_tpu.ops.stencil_gp import (make_pallas_gp_step_fn,
                                             gp_kernel_supported)
@@ -100,7 +104,7 @@ def test_gp_pallas_step_matches_xla(with_shear, tmp_path):
     assert gp_kernel_supported(cfg, 128, dims, use)
 
     rng = np.random.default_rng(0)
-    gp_state = synthetic_state(dims, use, 8, rng)
+    gp_state = synthetic_state(dims, use, cap, rng)
 
     q = np.asarray(problem.q, np.float32)
     q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
@@ -113,8 +117,10 @@ def test_gp_pallas_step_matches_xla(with_shear, tmp_path):
     ref_step = make_gp_step_core(cfg, dims, nf, use)
     qr, pr = ref_step(q, topo, extra, dt, 0, gp_state)
 
+    caps = tuple(cap if u else 0 for u in use)
     with pltpu.force_tpu_interpret_mode():
-        kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, 32, 128, bs=16)
+        kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, 32, 128, caps,
+                                       bs=16)
         qk, pk = kstep(q, topo, extra, dt, 0, gp_state)
 
     qr, qk = np.asarray(qr), np.asarray(qk)
@@ -139,3 +145,40 @@ def test_gp_step_cpu_routes_to_xla(tmp_path):
     qn, p = jax.jit(step)(q, topo, extra, jnp.float32(problem.dt), 0,
                           gp_state)
     assert np.all(np.isfinite(np.asarray(qn)))
+
+
+@pytest.mark.parametrize("cap", [8, 96])
+def test_gp_pallas_loop_matches_steps(cap, tmp_path):
+    """Whole-run-in-VMEM GP loop == n repeated GP steps (both cap modes)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.ops.stencil_gp import make_pallas_gp_loop_fn
+
+    problem, dims, use = _setup(True, str(tmp_path))
+    cfg = problem._solver_cfg
+    rng = np.random.default_rng(2)
+    gp_state = synthetic_state(dims, use, cap, rng)
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    nf = problem.database.num_features
+    n = 3
+    ref_step = make_gp_step_core(cfg, dims, nf, use, allow_pallas=False)
+    qr = q
+    for s in range(n):
+        qr, _ = ref_step(qr, topo, extra, dt, s, gp_state)
+
+    caps = tuple(cap if u else 0 for u in use)
+    with pltpu.force_tpu_interpret_mode():
+        loop = make_pallas_gp_loop_fn(cfg, dims, nf, use, 32, 128, caps,
+                                      n, bs=16)
+        qk = loop(q, topo, extra, dt, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    assert np.max(np.abs(qk - qr) / sc) < 5e-5
