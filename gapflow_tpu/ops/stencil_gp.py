@@ -349,16 +349,16 @@ def _prep_gp_ops_mxu(gp_state, active_dims, use_gp, du, Mtot):
     return Waug, Aaug.T
 
 
-def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
-                           nx, ny, caps, bs=None, dtype=jnp.float32):
-    """Unjitted ``step(q, topo, extra, dt, step_idx, gp_state)`` with the
-    same contract as core.gp_step.make_gp_step_core, running the fused
-    Pallas kernel.  MC_order must be static (pallas_supported enforces
-    it), so step_idx is ignored.  ``caps`` are the static per-model
-    padded capacities (z, x, y) of the gp_state buffers: capacities up to
-    UNROLL_CAP take the unrolled per-point accumulation, larger ones the
-    capacity-tiled MXU formulation (compile time and VMEM independent of
-    capacity)."""
+def make_gp_call(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
+                 dtype=jnp.float32):
+    """Raw GP-step pallas_call on halo-extended arrays.
+
+    Returns ``(call, prep)``: ``call(q_ext, stat_ext, dt, *gp_arrs) ->
+    (out_q (3, nx, ny), out_p (nx, ny))`` over the x-extended wrap
+    layout (serial strips or a sharded shard block — parallel.pallas_halo
+    routes its local blocks through this same call), and
+    ``prep(gp_state) -> [gp_arrs]`` building the (replicated) train
+    arrays for the selected capacity mode."""
     if not gp_kernel_supported(cfg, ny, active_dims, use_gp):
         raise ValueError("GP Pallas kernel does not cover this config")
     mxu = max(c for c, u in zip(caps, use_gp) if u) > UNROLL_CAP
@@ -385,32 +385,25 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
         n_gp_arrs = 2
         scratch.append(pltpu.VMEM((8, rows, ny), dtype))
     else:
+        du = Mtot = None
         n_gp_arrs = 4 * n_models
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     kern = partial(_kernel_fused_gp, cfg, gpspec, bs, ny, d0, d1)
 
-    def step(q, topo, extra, dt, step_idx, gp_state):
-        del step_idx
-        q = q.astype(dtype)
-        dt = jnp.asarray(dt, dtype)[None]
-        q_ext = _extend_interior(q[:, 1:-1, 1:-1])
-        stat_ext = _statics_ghosted(
-            _extend_interior(topo.astype(dtype)[:3, 1:-1, 1:-1]),
-            _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
-
+    def prep(gp_state):
         if mxu:
-            gp_arrs = [a.astype(dtype) for a in _prep_gp_ops_mxu(
+            return [a.astype(dtype) for a in _prep_gp_ops_mxu(
                 gp_state, active_dims, use_gp, du, Mtot)]
-        else:
-            gp_arrs = []
-            for key, dims, used in zip(("z", "x", "y"), active_dims,
-                                       use_gp):
-                if used:
-                    gp_arrs.extend(a.astype(dtype) for a in
-                                   _prep_gp_ops(gp_state, dims, key))
+        gp_arrs = []
+        for key, dims, used in zip(("z", "x", "y"), active_dims, use_gp):
+            if used:
+                gp_arrs.extend(a.astype(dtype) for a in
+                               _prep_gp_ops(gp_state, dims, key))
+        return gp_arrs
 
-        out_q, out_p = pl.pallas_call(
+    def call(q_ext, stat_ext, dt, *gp_arrs):
+        return pl.pallas_call(
             kern,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pl.ANY),
@@ -427,6 +420,33 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
             grid=grid,
             compiler_params=params,
         )(dt, q_ext, stat_ext, *gp_arrs)
+
+    return call, prep
+
+
+def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
+                           nx, ny, caps, bs=None, dtype=jnp.float32):
+    """Unjitted ``step(q, topo, extra, dt, step_idx, gp_state)`` with the
+    same contract as core.gp_step.make_gp_step_core, running the fused
+    Pallas kernel.  MC_order must be static (pallas_supported enforces
+    it), so step_idx is ignored.  ``caps`` are the static per-model
+    padded capacities (z, x, y) of the gp_state buffers: capacities up to
+    UNROLL_CAP take the unrolled per-point accumulation, larger ones the
+    capacity-tiled MXU formulation (compile time and VMEM independent of
+    capacity)."""
+    call, prep = make_gp_call(cfg, active_dims, use_gp, caps, nx, ny,
+                              bs, dtype)
+
+    def step(q, topo, extra, dt, step_idx, gp_state):
+        del step_idx
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        q_ext = _extend_interior(q[:, 1:-1, 1:-1])
+        stat_ext = _statics_ghosted(
+            _extend_interior(topo.astype(dtype)[:3, 1:-1, 1:-1]),
+            _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
+
+        out_q, out_p = call(q_ext, stat_ext, dt, *prep(gp_state))
 
         q_new = _reassemble(q, out_q)
         p_full = jnp.pad(out_p, ((1, 1), (1, 1)), mode="wrap")

@@ -45,13 +45,19 @@ from ..models.eos import eos_pressure
 from .halo import make_sharded_det_step, pad_blocks, pad_blocks_jnp
 
 
-def make_sharded_ehl_loop(problem, mesh, deform_every=1):
+def make_sharded_ehl_loop(problem, mesh, deform_every=1, use_pallas=None):
     """Build ``loop(q, u_prev, dt, n_steps) -> (q, u)`` sharded over mesh.
 
     ``q`` is the INTERIOR (3, Nx, Ny) sharded P(None,'x','y') (use
     halo.shard_problem_arrays); ``u_prev`` is the ghost-inclusive
     (Nx+2, Ny+2) deformation, replicated.  Semantics match
     core.ehl.make_ehl_loop (XLA path) to floating-point reduction order.
+
+    On covered configurations (fully periodic, f32, no thinning, grid
+    dividing the mesh) the fluid steps between deformation updates run
+    the FUSED Pallas kernel per shard (parallel.pallas_halo) instead of
+    the XLA local step — per-chip throughput is the serial kernel's.
+    ``use_pallas=None`` auto-routes; False forces the XLA step.
     """
     if not problem.topo.elastic:
         raise ValueError("problem has no elastic coupling")
@@ -75,26 +81,58 @@ def make_sharded_ehl_loop(problem, mesh, deform_every=1):
     K = int(deform_every)
     alpha_K = 1. - (1. - alpha) ** K
 
-    step = make_sharded_det_step(cfg, mesh)
+    nx, ny = problem.grid["Nx"], problem.grid["Ny"]
+    if use_pallas is None:
+        from ..ops.stencil import _fully_periodic
+        import jax as _jax
+        # the wrap-layout shard kernel pads the lane width itself, so the
+        # only requirements are the periodic scope, a static pass order
+        # and 8-aligned shard blocks
+        use_pallas = (not _jax.config.jax_enable_x64
+                      and _fully_periodic(cfg)
+                      and cfg.thinning is None
+                      and cfg.MC_order != 0
+                      and nx % px == 0 and ny % py == 0
+                      and (nx // px) % 8 == 0 and (ny // py) % 8 == 0)
+
+    if use_pallas:
+        from .pallas_halo import (make_sharded_pallas_loop,
+                                  pad_blocks2_jnp, pad_blocks2)
+        pallas_loop = make_sharded_pallas_loop(cfg, mesh, nx, ny)
+        extra2_host = pad_blocks2(
+            np.asarray(problem.fc.get_real_field("extra").p, np.float32),
+            px, py)
+    else:
+        step = make_sharded_det_step(cfg, mesh)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, u_prev, dt, n_steps):
         assert n_steps % K == 0, "n_steps must be divisible by deform_every"
         u0 = lax.with_sharding_constraint(jnp.asarray(u_prev), repl)
-        extra_b = lax.with_sharding_constraint(
-            jnp.asarray(extra_b_host, q.dtype), blk)
+        if use_pallas:
+            extra2 = lax.with_sharding_constraint(
+                jnp.asarray(extra2_host, q.dtype), blk)
+        else:
+            extra_b = lax.with_sharding_constraint(
+                jnp.asarray(extra_b_host, q.dtype), blk)
 
         def body(i, carry):
             q, u = carry
             u_eff = u - (u[0, 0] if shift_reference else 0.)
             topo_full = _topo_from_deformation(h_und, u_eff, cfg.dx, cfg.dy)
-            topo_b = lax.with_sharding_constraint(
-                pad_blocks_jnp(topo_full.astype(q.dtype), px, py), blk)
+            if use_pallas:
+                topo2 = lax.with_sharding_constraint(
+                    pad_blocks2_jnp(topo_full.astype(q.dtype), px, py),
+                    blk)
+                q = pallas_loop(q, topo2, extra2, dt, K)
+            else:
+                topo_b = lax.with_sharding_constraint(
+                    pad_blocks_jnp(topo_full.astype(q.dtype), px, py), blk)
 
-            def fluid(k, qq):
-                return step(qq, topo_b, extra_b, dt, i * K + k)
+                def fluid(k, qq):
+                    return step(qq, topo_b, extra_b, dt, i * K + k)
 
-            q = lax.fori_loop(0, K, fluid, q)
+                q = lax.fori_loop(0, K, fluid, q)
 
             # gather the evolved interior, rebuild the serial ghost ring
             # (ghost fills are linear, so the fresh fill equals the

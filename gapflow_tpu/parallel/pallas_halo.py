@@ -164,6 +164,25 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
     return jax.jit(sharded)
 
 
+def pad_blocks2_jnp(global_with_ghosts, px, py):
+    """Traceable :func:`pad_blocks2` (for per-iteration rebuilt statics,
+    e.g. the sharded EHL topography)."""
+    g = global_with_ghosts
+    C, nxg, nyg = g.shape
+    Nx, Ny = nxg - 2, nyg - 2
+    inter = g[:, 1:-1, 1:-1]
+    wide = jnp.concatenate([inter[:, -2:], inter, inter[:, :2]], axis=1)
+    wide = jnp.concatenate([wide[:, :, -2:], wide, wide[:, :, :2]],
+                           axis=2)
+    bx, by = Nx // px, Ny // py
+    rows = []
+    for i in range(px):
+        cols = [wide[:, i * bx:i * bx + bx + 4, j * by:j * by + by + 4]
+                for j in range(py)]
+        rows.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
 def pad_blocks2(global_with_ghosts, px, py):
     """Overlapping-block layout with TWO-cell halos for static fields.
 
@@ -187,3 +206,71 @@ def pad_blocks2(global_with_ghosts, px, py):
                              j * by:j * by + by + 4])
         rows.append(np.concatenate(cols, axis=2))
     return np.concatenate(rows, axis=1)
+
+
+@lru_cache(maxsize=8)
+def make_sharded_gp_pallas_loop(cfg, mesh, nx, ny, active_dims,
+                                num_features, use_gp, caps,
+                                dtype=jnp.float32):
+    """Sharded GP-closed stepping through the FUSED GP kernel.
+
+    ``loop(q, topo2, extra2, dt, n_steps, gp_state) -> q`` — the
+    multi-chip layout of the flagship multiscale mode: training set
+    replicated (tiny), test points sharded, each shard evaluating the
+    batched Matern means on its own MXU (ops.stencil_gp.make_gp_call)
+    between 2-deep ppermute halo exchanges.  Per-chip throughput is the
+    serial GP kernel's; ICI traffic is the same 2-cell halo volume as
+    the det one-step body.
+
+    q sharded P(None, 'x', 'y'); topo2/extra2 in pad_blocks2 layout;
+    gp_state replicated (core.gp_step layout, padded capacities in
+    ``caps``).
+    """
+    from ..ops.stencil_gp import make_gp_call
+
+    if not _fully_periodic(cfg):
+        raise ValueError("sharded GP Pallas loop covers fully periodic "
+                         "problems (others take make_sharded_gp_step)")
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    bx, by = nx // px, ny // py
+    W = _pad_width(by)
+    call, prep = make_gp_call(cfg, active_dims, use_gp, caps, bx, W,
+                              dtype=dtype)
+
+    def local_loop(q, topo2, extra2, dt, n_steps, *gp_arrs):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        n_steps = jnp.asarray(n_steps, jnp.int32)
+
+        stats = _statics_ghosted(topo2.astype(dtype), extra2.astype(dtype))
+        st_rows = jnp.concatenate(
+            [jnp.repeat(stats[:, :1], HALO_X - 2, axis=1), stats,
+             jnp.repeat(stats[:, -1:], HALO_X - 2, axis=1)], axis=1)
+        stat_ext = _to_kernel_layout(st_rows, by, W)
+
+        def body(i, q_int):
+            lo_x, hi_x = _exchange2(q_int, 1, "x", px)
+            rows = jnp.concatenate([lo_x, q_int, hi_x], axis=1)
+            lo_y, hi_y = _exchange2(rows, 2, "y", py)
+            rows = jnp.concatenate([lo_y, rows, hi_y], axis=2)
+            rows = jnp.concatenate(
+                [jnp.repeat(rows[:, :1], HALO_X - 2, axis=1), rows,
+                 jnp.repeat(rows[:, -1:], HALO_X - 2, axis=1)], axis=1)
+            q_ext = _to_kernel_layout(rows, by, W)
+            out, _ = call(q_ext, stat_ext, dt, *gp_arrs)   # (3, bx, W)
+            return out[:, :, :by]
+
+        return lax.fori_loop(0, n_steps, body, q)
+
+    spec = P(None, "x", "y")
+
+    def loop(q, topo2, extra2, dt, n_steps, gp_state):
+        gp_arrs = prep(gp_state)
+        sharded = shard_map(
+            local_loop, mesh=mesh,
+            in_specs=(spec, spec, spec, P(), P())
+                     + (P(),) * len(gp_arrs),
+            out_specs=spec, check_vma=False)
+        return sharded(q, topo2, extra2, dt, n_steps, *gp_arrs)
+
+    return jax.jit(loop, static_argnames=())
