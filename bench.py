@@ -171,6 +171,148 @@ properties:
     return nx * ny / per_step
 
 
+def bench_gp_closed(nx=1024, ny=1024, cap=64, n_steps=200):
+    """GP-closed production throughput: whole-run-in-VMEM GP loop kernel
+    with three surrogates at padded capacity ``cap`` (synthetic
+    well-conditioned state; the padded buffers are FULL, so every train
+    point is computed — no tile skipping)."""
+    import jax
+    import jax.numpy as jnp
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.step import apply_bcs
+    from gapflow_tpu.ops.stencil_gp import make_pallas_gp_loop_fn
+    from gapflow_tpu.validate import synthetic_gp_state
+
+    sim = f"""
+options:
+    output: data/bench_gp
+    write_freq: 100000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {nx}
+    Ny: {ny}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 1000000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    dims = ((0, 3), (0, 1, 3), (0, 2, 3))
+    use = (True, True, True)
+    caps = (cap, cap, cap)
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_gp_state(dims, use, cap, rng)
+
+    q = jnp.asarray(np.asarray(problem.q), jnp.float32)
+    q = apply_bcs(q, cfg)
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    loop = jax.jit(make_pallas_gp_loop_fn(cfg, dims, 7, use, nx, ny,
+                                          caps, n_steps))
+    out = loop(q, topo, extra, dt, gp_state)
+    float(out[0, 1, 1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = loop(out, topo, extra, dt, gp_state)
+        float(out[0, 1, 1])
+        times.append(time.perf_counter() - t0)
+    return nx * ny * n_steps / float(np.median(times))
+
+
+def bench_sharded_local(bx=1024, by=512, n_steps=512):
+    """Per-chip throughput of the SHARDED kernel path, measured on one
+    chip: the (1,1)-mesh degenerate run of make_sharded_pallas_loop is
+    the identical program a (2,4)-mesh shard of a 2048^2 grid executes
+    between ICI exchanges (same wrap layout, same temporal-blocked
+    kernel, self-halo instead of ppermute data)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.step import apply_bcs
+    from gapflow_tpu.parallel.pallas_halo import (make_sharded_pallas_loop,
+                                                 pad_blocks2)
+
+    sim = f"""
+options:
+    output: data/bench_shard
+    write_freq: 100000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {bx}
+    Ny: {by}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.
+numerics:
+    CFL: 0.5
+    adaptive: 0
+    tol: 1e-30
+    dt: 1e-11
+    max_it: 1000000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("x", "y"))
+    loop = make_sharded_pallas_loop(cfg, mesh, bx, by)
+
+    q = np.asarray(apply_bcs(jnp.asarray(problem.q, jnp.float32), cfg))
+    topo = np.asarray(problem.topo.full, np.float32)
+    extra = np.asarray(problem.fc.get_real_field("extra").p, np.float32)
+    spec = NamedSharding(mesh, P(None, "x", "y"))
+    qs = jax.device_put(q[:, 1:-1, 1:-1], spec)
+    t2 = jax.device_put(pad_blocks2(topo, 1, 1), spec)
+    e2 = jax.device_put(pad_blocks2(extra, 1, 1), spec)
+    dt = jnp.float32(problem.dt)
+
+    out = loop(qs, t2, e2, dt, n_steps)
+    float(out[0, 1, 1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = loop(out, t2, e2, dt, n_steps)
+        float(out[0, 1, 1])
+        times.append(time.perf_counter() - t0)
+    return bx * by * n_steps / float(np.median(times))
+
+
 def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     """GP refit + rank-1 active-learning update latencies at N_train.
 
@@ -248,7 +390,16 @@ def main():
     throughput = bench_fv_step()
     fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
     ehl_1024 = bench_ehl_step()
+    ehl_4096 = bench_ehl_step(nx=4096, ny=4096)
+    gp_closed_64 = bench_gp_closed(cap=64)
+    gp_closed_1024 = bench_gp_closed(cap=1024, n_steps=24)
+    shard_local = bench_sharded_local()
     gp_refit_s, gp_update_s = bench_gp_refit()
+
+    from gapflow_tpu.parallel.pallas_halo import ici_bytes_per_step
+    ici = {f"{m}_2048_2x4_bytes_per_step_per_chip":
+           float(ici_bytes_per_step(2048, 2048, 2, 4, m))
+           for m in ("det", "gp", "ehl")}
 
     # correctness on the SAME backend as the throughput numbers: f32
     # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
@@ -264,6 +415,11 @@ def main():
         "vs_baseline": float(throughput / fv_target),
         "fv_2048_cu_s": float(fv_2048),
         "ehl_1024_cu_s": float(ehl_1024),
+        "ehl_4096_cu_s": float(ehl_4096),
+        "gp_closed_1024_cap64_cu_s": float(gp_closed_64),
+        "gp_closed_1024_cap1024_cu_s": float(gp_closed_1024),
+        "sharded_local_kernel_cu_s_per_chip": float(shard_local),
+        "ici": ici,
         "gp_refit_ms": float(gp_refit_s * 1e3),
         "gp_al_update_ms": float(gp_update_s * 1e3),
         "gp_vs_target": float(gp_target / gp_refit_s),

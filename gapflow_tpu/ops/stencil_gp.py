@@ -537,10 +537,14 @@ def _kernel_gp_vmem(cfg, gpspec, bs, nx, n_steps, d0, d1,
 
 def gp_loop_vmem_fits(cfg, nx, ny, dtype=jnp.float32):
     """Whether the ping-pong state + statics + GP scratch fit VMEM."""
-    ext_bytes = (nx + 2 * HALO_X) * ny * jnp.dtype(dtype).itemsize
-    # 6 state channels + statics resident; ~70 bs*ny live per-cell
-    # temporaries (pass working set + GP tile block)
-    need = (6 + N_STATIC + 8) * ext_bytes + 80 * 4 * min(nx, 256) * ny
+    item = jnp.dtype(dtype).itemsize
+    ext_bytes = (nx + 2 * HALO_X) * ny * item
+    bs = max(8, min(nx, ((64 * 1024) // ny) // 8 * 8))
+    # 2x3 ping-pong state channels + statics resident; per-strip: the
+    # (8, rows, ny) GP output scratch plus ~70 live per-cell pass
+    # temporaries (factored closures + GP tile block)
+    strip = (8 * (bs + 2 * HALO_X) + 70 * bs) * ny * item
+    need = (6 + N_STATIC) * ext_bytes + strip
     return need < 90 * 1024 * 1024
 
 

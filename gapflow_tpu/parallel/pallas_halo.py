@@ -274,3 +274,40 @@ def make_sharded_gp_pallas_loop(cfg, mesh, nx, ny, active_dims,
         return sharded(q, topo2, extra2, dt, n_steps, *gp_arrs)
 
     return jax.jit(loop, static_argnames=())
+
+
+def ici_bytes_per_step(nx, ny, px, py, mode="det", deform_every=1,
+                       itemsize=4):
+    """Analytic ICI traffic of the sharded Pallas paths, bytes sent per
+    chip per timestep (each ppermute sends one halo slab per direction).
+
+    mode="det": temporal-blocked loop — one HALO_X-deep (8-cell)
+    exchange round per K_MULTI=4 steps.  mode="gp": one 2-deep exchange
+    per step.  mode="ehl": the gp/det fluid exchanges plus the
+    replicated-FFT pressure all-gather, (Nx+2)(Ny+2) values received
+    from the other chips every ``deform_every`` steps (counted as sent
+    bytes of the local (bx, by) contribution broadcast to px*py-1
+    peers under a ring all-gather: each chip forwards the full array
+    once, so sent ~= (Nx+2)(Ny+2) * itemsize / (px*py) * (px*py-1)).
+    """
+    from ..ops.stencil import K_MULTI
+
+    bx, by = nx // px, ny // py
+
+    def fluid(depth, every):
+        x_bytes = 2 * 3 * depth * by * itemsize if px > 1 else 0
+        y_bytes = 2 * 3 * (bx + 2 * depth) * depth * itemsize \
+            if py > 1 else 0
+        return (x_bytes + y_bytes) / every
+
+    if mode == "det":
+        return fluid(HALO_X, K_MULTI)
+    if mode == "gp":
+        return fluid(2, 1)
+    if mode == "ehl":
+        n_dev = px * py
+        gather = (nx + 2) * (ny + 2) * itemsize * (n_dev - 1) / n_dev
+        blocked = deform_every >= 4
+        return (fluid(HALO_X, K_MULTI) if blocked else fluid(2, 1)) \
+            + gather / deform_every
+    raise ValueError(mode)

@@ -364,6 +364,58 @@ def gp_kernel_parity(cap=16):
             "ok": bool(q_err < 2e-5 and p_err < 2e-5)}
 
 
+def gp_loop_parity(cap=96, n=3):
+    """Whole-run-in-VMEM GP loop kernel vs n repeated XLA GP steps on the
+    ACTIVE backend (the on-chip analogue of
+    tests/test_gp_pallas.py::test_gp_pallas_loop_matches_steps; cap > 64
+    exercises the capacity-tiled MXU formulation)."""
+    import contextlib
+    import io
+    import tempfile
+    from . import Problem
+    from .core.gp_step import make_gp_step_core
+    from .core.step import apply_bcs
+
+    tmp = tempfile.mkdtemp()
+    with contextlib.redirect_stdout(io.StringIO()):
+        problem = Problem.from_string(_GP_SIM.format(tmp=tmp))
+        problem._pre_run()
+    dims = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                 for m in (problem.pressure, problem.wall_stress_xz,
+                           problem.wall_stress_yz))
+    use = tuple(m.is_gp_model for m in (problem.pressure,
+                                        problem.wall_stress_xz,
+                                        problem.wall_stress_yz))
+    cfg = problem._solver_cfg
+    rng = np.random.default_rng(1)
+    gp_state = synthetic_gp_state(dims, use, cap, rng)
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+    nf = problem.database.num_features
+    nx, ny = q.shape[1] - 2, q.shape[2] - 2
+    caps = tuple(cap if u else 0 for u in use)
+
+    ref = make_gp_step_core(cfg, dims, nf, use, allow_pallas=False)
+    qr = q
+    for s in range(n):
+        qr, _ = ref(qr, topo, extra, dt, s, gp_state)
+
+    from .ops.stencil_gp import make_pallas_gp_loop_fn
+    loop = make_pallas_gp_loop_fn(cfg, dims, nf, use, nx, ny, caps, n)
+    qk = loop(q, topo, extra, dt, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    q_err = float(np.max(np.abs(qk - qr) / sc))
+    return {"q_scaled_maxerr": q_err, "ok": bool(q_err < 5e-5)}
+
+
 def correctness_block(sommerfeld_steps=20000):
     """Run the checks; returns a dict for the bench JSON line.
 
@@ -377,6 +429,8 @@ def correctness_block(sommerfeld_steps=20000):
     al = al_chunked_parity()
     ehl = ehl_kernel_bitexact()
     gpk = gp_kernel_parity()
+    gpk_mxu = gp_kernel_parity(cap=1024)   # capacity-tiled MXU mode
+    gpl = gp_loop_parity()
     return {
         "sommerfeld_l2": l2,
         "pallas_vs_xla_max_scaled_err": kern,
@@ -384,6 +438,9 @@ def correctness_block(sommerfeld_steps=20000):
         "al_chunked": al,
         "ehl_kernel": ehl,
         "gp_kernel": gpk,
+        "gp_kernel_mxu": gpk_mxu,
+        "gp_loop": gpl,
         "ok": bool(l2 < 0.02 and kern < 1e-4 and kern_thin < 1e-4
-                   and al["ok"] and ehl["ok"] and gpk["ok"]),
+                   and al["ok"] and ehl["ok"] and gpk["ok"]
+                   and gpk_mxu["ok"] and gpl["ok"]),
     }
