@@ -65,7 +65,7 @@ properties:
 def build(problem, with_fluid=True, with_deform=True, with_topo=True):
     cfg = problem._solver_cfg
     ed = problem.topo.ElasticDeformation
-    hs_deform = ed._hs.deformation
+    hs_deform = ed.deformation_full   # ghost- or interior-grid FFT
     alpha = jnp.float32(ed.alpha_underrelax)
     h_und = jnp.asarray(problem.topo.h_undeformed, jnp.float32)
     extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)

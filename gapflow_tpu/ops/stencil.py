@@ -407,6 +407,127 @@ def _kernel_fused_bc(cfg, bs, ny, n_strips, per_x, d0, d1, emit_delta,
         out_ref[2] = (c[sl, :ny] + q2_0[sl, :ny]) / 2.
 
 
+def _refill_ghosts_shard(cfg, comps, bs, ny, i_strip, n_strips, flags):
+    """Shard-aware :func:`_refill_ghosts`: the same serial fill order and
+    formulas, but every refill additionally gates on the shard holding
+    that DOMAIN edge (``flags`` = traced (xe, xw, yn, ys) booleans).
+    Non-edge shards keep their halo values — which pass 1 evolved exactly
+    like the neighbor's interior, the periodic-layout invariant."""
+    q0, q1, q2 = comps
+    W = q0.shape[1]
+    xe, xw, yn, ys = flags
+
+    bc_xE, bc_xW = cfg.bc_edge(0), cfg.bc_edge(1)
+    if not all(bc_xE["P"]):
+        adjL = [q[HALO_X, :] for q in comps]
+        adjR = [q[HALO_X + bs - 1, :] for q in comps]
+        fillL = _ghost_row(bc_xE, adjL)
+        fillR = _ghost_row(bc_xW, adjR)
+        is_first = (i_strip == 0) & xe
+        is_last = (i_strip == n_strips - 1) & xw
+        comps = [
+            jnp.concatenate([
+                q[:HALO_X - 1],
+                jnp.where(is_first, fL, q[HALO_X - 1, :])[None, :],
+                q[HALO_X:HALO_X + bs],
+                jnp.where(is_last, fR, q[HALO_X + bs, :])[None, :],
+                q[HALO_X + bs + 1:],
+            ], axis=0)
+            for q, fL, fR in zip(comps, fillL, fillR)
+        ]
+
+    bc_yS, bc_yN = cfg.bc_edge(2), cfg.bc_edge(3)
+    if all(bc_yS["P"]):
+        return comps
+    out = []
+    for c, q in enumerate(comps):
+        # in the wrap shard layout: col ny = E1 (North ghost slot on the
+        # yN-edge shard), col W-1 = W1 (South ghost slot on yS-edge)
+        vS = (2. * bc_yS["val"] - q[:, 0]) if bc_yS["D"][c] else q[:, 0]
+        vN = (2. * bc_yN["val"] - q[:, ny - 1]) if bc_yN["D"][c] \
+            else q[:, ny - 1]
+        vN = jnp.where(yn, vN, q[:, ny])
+        vS = jnp.where(ys, vS, q[:, W - 1])
+        out.append(jnp.concatenate([
+            q[:, :ny], vN[:, None], q[:, ny + 1:W - 1], vS[:, None],
+        ], axis=1))
+    return out
+
+
+def _kernel_fused_bc_shard(cfg, bs, by, n_strips, d0, d1,
+                           dt_ref, flags_ref, q_hbm, st_hbm, out_ref,
+                           q_loc, st_loc, sems):
+    """One MacCormack step of a SHARD block in the wrap layout with
+    domain-edge D/N ghost handling (parallel.pallas_halo's non-periodic
+    scope).  Identical to :func:`_kernel_fused_bc` except the ghost
+    refill gates on the shard's edge flags (SMEM) and the layout is the
+    2-deep wrap layout: edge-shard halo slots arrive pre-filled with the
+    serial ghost values (the XLA exchange overrides the ppermute wrap),
+    the inter-pass refill recomputes them from the pass-1 state, and the
+    junk halo depth never reaches a valid output in two passes."""
+    i = pl.program_id(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    cp_q = pltpu.make_async_copy(
+        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
+    cp_s = pltpu.make_async_copy(
+        st_hbm.at[:, pl.ds(x0, rows), :], st_loc, sems.at[1])
+    cp_q.start()
+    cp_s.start()
+    cp_q.wait()
+    cp_s.wait()
+
+    dt = dt_ref[0]
+    flags = tuple(flags_ref[c] != 0 for c in range(4))
+    st = tuple(st_loc[c] for c in range(N_STATIC))
+    q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
+
+    comps = _one_pass_fused(cfg, q0_0, q1_0, q2_0, st, dt, d0)
+    comps = _refill_ghosts_shard(cfg, comps, bs, by, i, n_strips, flags)
+
+    sl = slice(HALO_X, HALO_X + bs)
+    a, b, c = _one_pass_fused(cfg, *comps, st, dt, d1)
+    out_ref[0] = (a[sl] + q0_0[sl]) / 2.
+    out_ref[1] = (b[sl] + q1_0[sl]) / 2.
+    out_ref[2] = (c[sl] + q2_0[sl]) / 2.
+
+
+def make_bc_shard_call(cfg, bx, by, W, bs=None, dtype=jnp.float32):
+    """Raw pallas_call for :func:`_kernel_fused_bc_shard`:
+    ``call(q_ext (3, bx+2H, W), stat_ext, dt (1,), flags (4,) int32) ->
+    (3, bx, W)``."""
+    if bs is None:
+        bs = _auto_bs(bx, W)
+    bs = min(bs, bx)
+    assert bx % bs == 0 and bs % 8 == 0
+    rows = bs + 2 * HALO_X
+    d0, d1 = mc_directions(cfg.MC_order)
+    kern = partial(_kernel_fused_bc_shard, cfg, bs, by, bx // bs, d0, d1)
+
+    def call(q_ext, stat_ext, dt, flags):
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((3, bs, W), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, bx, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((3, rows, W), dtype),
+                pltpu.VMEM((N_STATIC, rows, W), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            grid=(bx // bs,),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(dt, flags, q_ext, stat_ext)
+
+    return call
+
+
 def _advance_plain(cfg, k, d0, d1, chs, st, dt):
     """k MacCormack steps on a 3-channel strip (plain accumulation)."""
     q0, q1, q2 = chs

@@ -225,6 +225,13 @@ def make_sharded_gp_pallas_loop(cfg, mesh, nx, ny, active_dims,
     q sharded P(None, 'x', 'y'); topo2/extra2 in pad_blocks2 layout;
     gp_state replicated (core.gp_step layout, padded capacities in
     ``caps``).
+
+    One-step bodies by design (no temporal blocking): a GP-closed step
+    is 10-60x the det step's compute (capacity x 3 surrogates of kernel
+    evaluations per cell), so the 2-deep exchange's ICI time
+    (ici_bytes_per_step mode="gp", ~74 kB/chip/step at 2048^2 on 2x4)
+    is noise against it — the det path's K_MULTI blocking would buy
+    nothing here.
     """
     from ..ops.stencil_gp import make_gp_call
 
@@ -311,3 +318,142 @@ def ici_bytes_per_step(nx, ny, px, py, mode="det", deform_every=1,
         return (fluid(HALO_X, K_MULTI) if blocked else fluid(2, 1)) \
             + gather / deform_every
     raise ValueError(mode)
+
+
+@lru_cache(maxsize=8)
+def make_sharded_bc_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
+    """Sharded fused-kernel stepping for per-edge-uniform D/N problems.
+
+    ``loop(q, topo2, extra2, dt, n_steps) -> q`` — the non-periodic
+    extension of :func:`make_sharded_pallas_loop`: the same 2-deep wrap
+    layout and ppermute exchanges, except that DOMAIN-edge shards
+    override the wrapped halo slabs with the serial ghost values before
+    the kernel, and the kernel (ops.stencil._kernel_fused_bc_shard)
+    refills those ghost slots between the two passes from the pass-1
+    state, gated on the shard's edge flags — the serial
+    _communicate_ghost_buffers sequencing, shard-locally.  Periodic axes
+    keep the plain wrap invariant.  topo2/extra2 must come from
+    :func:`pad_blocks2_bc` so edge-shard statics carry the serial ghost
+    topography, not a periodic wrap.
+
+    Scope: per-edge-uniform P/D/N (ops.stencil._edges_uniform), no shear
+    thinning, static MC order — the serial bc kernel family's coverage.
+    One-step bodies (no temporal blocking yet): ICI cost is the gp-mode
+    2-deep exchange per step (ici_bytes_per_step mode="gp").
+    """
+    from ..ops.stencil import make_bc_shard_call, _edges_uniform
+
+    if cfg.thinning is not None:
+        raise ValueError("sharded bc loop does not cover shear thinning")
+    if not _edges_uniform(cfg) or cfg.MC_order == 0:
+        raise ValueError("sharded bc loop covers per-edge-uniform "
+                         "static-order configs")
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    bx, by = nx // px, ny // py
+    W = _pad_width(by)
+    call = make_bc_shard_call(cfg, bx, by, W, dtype=dtype)
+
+    bc_xE, bc_xW = cfg.bc_edge(0), cfg.bc_edge(1)
+    bc_yS, bc_yN = cfg.bc_edge(2), cfg.bc_edge(3)
+    per_x, per_y = all(bc_xE["P"]), all(bc_yS["P"])
+
+    def ghost_vals(bc, adj):
+        comps = []
+        for c in range(3):
+            if bc["D"][c]:
+                comps.append(2. * bc["val"] - adj[c])
+            else:                      # N (P never reaches this path)
+                comps.append(adj[c])
+        return jnp.stack(comps)
+
+    def local_loop(q, topo2, extra2, dt, n_steps):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        n_steps = jnp.asarray(n_steps, jnp.int32)
+        ix = lax.axis_index("x")
+        iy = lax.axis_index("y")
+        flags = jnp.stack([
+            (ix == 0) & (not per_x),
+            (ix == px - 1) & (not per_x),
+            (iy == py - 1) & (not per_y),
+            (iy == 0) & (not per_y),
+        ]).astype(jnp.int32)
+
+        stats = _statics_ghosted(topo2.astype(dtype), extra2.astype(dtype))
+        st_rows = jnp.concatenate(
+            [jnp.repeat(stats[:, :1], HALO_X - 2, axis=1), stats,
+             jnp.repeat(stats[:, -1:], HALO_X - 2, axis=1)], axis=1)
+        stat_ext = _to_kernel_layout(st_rows, by, W)
+
+        def body(i, q_int):
+            lo_x, hi_x = _exchange2(q_int, 1, "x", px)
+            if not per_x:
+                gE = ghost_vals(bc_xE, q_int[:, 0, :])[:, None, :]
+                gW = ghost_vals(bc_xW, q_int[:, -1, :])[:, None, :]
+                lo_x = jnp.where(ix == 0,
+                                 jnp.concatenate([gE, gE], axis=1), lo_x)
+                hi_x = jnp.where(ix == px - 1,
+                                 jnp.concatenate([gW, gW], axis=1), hi_x)
+            rows = jnp.concatenate([lo_x, q_int, hi_x], axis=1)
+            lo_y, hi_y = _exchange2(rows, 2, "y", py)
+            if not per_y:
+                gS = ghost_vals(bc_yS, rows[:, :, 0])[:, :, None]
+                gN = ghost_vals(bc_yN, rows[:, :, -1])[:, :, None]
+                lo_y = jnp.where(iy == 0,
+                                 jnp.concatenate([gS, gS], axis=2), lo_y)
+                hi_y = jnp.where(iy == py - 1,
+                                 jnp.concatenate([gN, gN], axis=2), hi_y)
+            rows2 = jnp.concatenate([lo_y, rows, hi_y], axis=2)
+            rows2 = jnp.concatenate(
+                [jnp.repeat(rows2[:, :1], HALO_X - 2, axis=1), rows2,
+                 jnp.repeat(rows2[:, -1:], HALO_X - 2, axis=1)], axis=1)
+            q_ext = _to_kernel_layout(rows2, by, W)
+            out = call(q_ext, stat_ext, dt, flags)    # (3, bx, W)
+            return out[:, :, :by]
+
+        return lax.fori_loop(0, n_steps, body, q)
+
+    spec = P(None, "x", "y")
+    sharded = shard_map(
+        local_loop, mesh=mesh,
+        in_specs=(spec, spec, spec, P(), P()),
+        out_specs=spec, check_vma=False)
+    return jax.jit(sharded)
+
+
+def pad_blocks2_bc(global_with_ghosts, px, py, per_x, per_y):
+    """:func:`pad_blocks2` for non-periodic axes: edge blocks carry the
+    SERIAL ghost-ring values of the input (duplicated to the 2-cell halo
+    depth; the outer cell is junk depth, never consumed) instead of a
+    periodic wrap."""
+    g = np.asarray(global_with_ghosts)
+    C, nxg, nyg = g.shape
+    Nx, Ny = nxg - 2, nyg - 2
+    inter = g[:, 1:-1, 1:-1]
+    if per_x:
+        top2, bot2 = inter[:, -2:], inter[:, :2]
+    else:
+        gE, gW = g[:, :1, 1:-1], g[:, -1:, 1:-1]
+        top2 = np.concatenate([gE, gE], axis=1)
+        bot2 = np.concatenate([gW, gW], axis=1)
+    wide = np.concatenate([top2, inter, bot2], axis=1)
+    if per_y:
+        l2, r2 = wide[:, :, -2:], wide[:, :, :2]
+    else:
+        # ghost cols aligned with the interior rows; halo rows replicate
+        gS = np.concatenate([g[:, :1, :1].repeat(2, 1), g[:, 1:-1, :1],
+                             g[:, -1:, :1].repeat(2, 1)], axis=1)
+        gN = np.concatenate([g[:, :1, -1:].repeat(2, 1), g[:, 1:-1, -1:],
+                             g[:, -1:, -1:].repeat(2, 1)], axis=1)
+        l2 = np.concatenate([gS, gS], axis=2)
+        r2 = np.concatenate([gN, gN], axis=2)
+    wide = np.concatenate([l2, wide, r2], axis=2)
+
+    bx, by = Nx // px, Ny // py
+    assert Nx % px == 0 and Ny % py == 0, "grid must divide the mesh"
+    rows = []
+    for i in range(px):
+        cols = [wide[:, i * bx:i * bx + bx + 4, j * by:j * by + by + 4]
+                for j in range(py)]
+        rows.append(np.concatenate(cols, axis=2))
+    return np.concatenate(rows, axis=1)

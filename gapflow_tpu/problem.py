@@ -1058,13 +1058,20 @@ class Problem:
         self.q[...] = np.asarray(q)
         self._refresh_det_fields()
 
-    def run_steps_sharded(self, n, mesh=None):
+    def run_steps_sharded(self, n, mesh=None, use_pallas=None):
         """Advance ``n`` fixed-dt steps sharded over a 2D device mesh.
 
         The state is decomposed spatially over the mesh with ppermute halo
         exchange (ICI on TPU pods); requires the interior grid to divide
         the mesh shape.  Syncs q back to the host afterwards.
+
+        On covered f32 configurations the per-shard stepping runs the
+        FUSED Pallas kernels (parallel.pallas_halo): temporal-blocked
+        wrap kernel on fully periodic problems, the shard bc kernel on
+        per-edge-uniform D/N edges.  ``use_pallas=None`` auto-routes;
+        False forces the XLA local step.
         """
+        import jax as _jax
         from .parallel import grid_mesh, make_sharded_trajectory
         from .parallel.halo import shard_problem_arrays
 
@@ -1080,9 +1087,46 @@ class Problem:
         if mesh is None:
             mesh = grid_mesh()
 
+        cfg = self._solver_cfg
+        nx, ny = self.grid["Nx"], self.grid["Ny"]
+        px, py = mesh.shape["x"], mesh.shape["y"]
+        if use_pallas is None:
+            from .ops.stencil import _edges_uniform
+            use_pallas = (not _jax.config.jax_enable_x64
+                          and _jax.default_backend() != "cpu"
+                          and cfg.thinning is None
+                          and cfg.MC_order != 0
+                          and _edges_uniform(cfg)
+                          and nx % px == 0 and ny % py == 0
+                          and (nx // px) % 8 == 0 and (ny // py) % 8 == 0)
+
         q, topo, extra = shard_problem_arrays(self, mesh)
-        runner = make_sharded_trajectory(self._solver_cfg, mesh, n)
-        q = runner(q, topo, extra, self.dt)
+        if use_pallas:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .ops.stencil import _fully_periodic
+            from .parallel.pallas_halo import (
+                make_sharded_pallas_loop, make_sharded_bc_pallas_loop,
+                pad_blocks2, pad_blocks2_bc)
+            per_x = all(cfg.bc_edge(0)["P"])
+            per_y = all(cfg.bc_edge(2)["P"])
+            topo_f = np.asarray(self.topo.full, np.float32)
+            extra_f = np.asarray(self.fc.get_real_field("extra").p,
+                                 np.float32)
+            if _fully_periodic(cfg):
+                loop = make_sharded_pallas_loop(cfg, mesh, nx, ny)
+                t2 = pad_blocks2(topo_f, px, py)
+                e2 = pad_blocks2(extra_f, px, py)
+            else:
+                loop = make_sharded_bc_pallas_loop(cfg, mesh, nx, ny)
+                t2 = pad_blocks2_bc(topo_f, px, py, per_x, per_y)
+                e2 = pad_blocks2_bc(extra_f, px, py, per_x, per_y)
+            spec = NamedSharding(mesh, P(None, "x", "y"))
+            q = loop(q.astype(jnp.float32),
+                     _jax.device_put(t2, spec), _jax.device_put(e2, spec),
+                     jnp.float32(self.dt), n)
+        else:
+            runner = make_sharded_trajectory(cfg, mesh, n)
+            q = runner(q, topo, extra, self.dt)
 
         self.q[:, 1:-1, 1:-1] = np.asarray(q)
         self._communicate_ghost_buffers()

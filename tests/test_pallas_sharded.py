@@ -254,3 +254,111 @@ def test_sharded_ehl_pallas_matches_serial(shape, K):
     assert np.max(np.abs(q_out - q_ref[:, 1:-1, 1:-1]) / scale) < 1e-5
     us = max(np.abs(u_ref).max(), 1e-30)
     assert np.abs(u_out - u_ref).max() / us < 1e-4
+
+
+sim_bc = """
+options:
+    output: data/pshard_bc
+    write_freq: 1000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: 32
+    Ny: 256
+{edges}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.5
+    adaptive: 0
+    tol: 1e-8
+    dt: 5e-11
+    max_it: 10
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+"""
+
+EDGES_XDN = """    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007
+"""
+EDGES_ALL = EDGES_XDN + """    yS: ['D', 'N', 'N']
+    yN: ['D', 'N', 'N']
+    yS_D: 877.7007
+    yN_D: 877.7007
+"""
+
+
+@pytest.mark.parametrize("shape,edges", [
+    ((1, 1), EDGES_XDN), ((1, 1), EDGES_ALL),
+    ((2, 4), EDGES_XDN), ((2, 2), EDGES_ALL), ((1, 8), EDGES_ALL)])
+def test_sharded_bc_pallas_matches_serial(shape, edges):
+    """Sharded D/N-edge fused kernel == serial bc-kernel loop: edge
+    shards carry the serial ghost protocol, interior shards the halo
+    wrap invariant."""
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.parallel.pallas_halo import (
+        make_sharded_bc_pallas_loop, pad_blocks2_bc)
+
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("needs 8 virtual devices")
+    if (os.cpu_count() or 1) < shape[0] * shape[1]:
+        pytest.skip("interpret-mode sharded pallas needs >= mesh-size "
+                    "host cores")
+
+    problem = Problem.from_string(sim_bc.format(edges=edges))
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    nx, ny = problem.grid["Nx"], problem.grid["Ny"]
+    per_x = all(cfg.bc_edge(0)["P"])
+    per_y = all(cfg.bc_edge(2)["P"])
+    assert not per_x
+
+    rng = np.random.default_rng(5)
+    qp = np.array(problem.q)
+    qp[0] *= 1. + 0.01 * rng.standard_normal(qp[0].shape)
+    from gapflow_tpu.core.step import apply_bcs
+    q = apply_bcs(jnp.asarray(qp, jnp.float32), cfg)
+    topo = np.asarray(problem.topo.full, np.float32)
+    extra = np.asarray(problem.fc.get_real_field("extra").p, np.float32)
+    dt = jnp.asarray(problem.dt, jnp.float32)
+    n = 5
+
+    with pltpu.force_tpu_interpret_mode():
+        from gapflow_tpu.ops.stencil import make_pallas_loop, _make_call
+        make_pallas_loop.cache_clear()
+        _make_call.cache_clear()
+        serial = make_pallas_loop(cfg, nx, ny)
+        ref = np.asarray(serial(q, jnp.asarray(topo), jnp.asarray(extra),
+                                dt, n))[:, 1:-1, 1:-1]
+
+        mesh = grid_mesh(jax.devices()[:shape[0] * shape[1]], shape=shape)
+        loop = make_sharded_bc_pallas_loop(cfg, mesh, nx, ny)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P(None, "x", "y"))
+        qs = jax.device_put(np.asarray(q)[:, 1:-1, 1:-1], spec)
+        t2 = jax.device_put(pad_blocks2_bc(topo, *shape, per_x, per_y),
+                            spec)
+        e2 = jax.device_put(pad_blocks2_bc(extra, *shape, per_x, per_y),
+                            spec)
+        out = np.asarray(loop(qs, t2, e2, dt, n))
+        make_pallas_loop.cache_clear()
+        make_sharded_bc_pallas_loop.cache_clear()
+        _make_call.cache_clear()
+
+    scale = np.abs(ref).reshape(3, -1).max(axis=1)[:, None, None]
+    scale = np.maximum(scale, 1e-6 * scale.max())
+    assert np.max(np.abs(out - ref) / scale) < 1e-5
