@@ -852,7 +852,8 @@ class Problem:
         return run_gp_al_chunked(self, n, capacity=capacity,
                                  n_candidates=n_candidates)
 
-    def run_steps_gp_fast(self, n, capacity=None, chunk=512):
+    def run_steps_gp_fast(self, n, capacity=None, chunk=512,
+                          use_vmem_loop=None):
         """Advance ``n`` fixed-dt GP-closed steps with FROZEN surrogates
         as whole-run compiled loops — the temporal-blocked production
         path for the flagship multiscale mode.
@@ -923,12 +924,13 @@ class Problem:
         extra = jnp.asarray(self.fc.get_real_field("extra").p, dtype)
         dt = jnp.asarray(self.dt, dtype)
 
-        use_vmem_loop = False
-        if dtype == jnp.float32 and _jax.default_backend() != "cpu":
-            from .ops.stencil_gp import (gp_kernel_supported,
-                                         gp_loop_vmem_fits)
-            use_vmem_loop = (gp_kernel_supported(cfg, ny, dims3, use3)
-                             and gp_loop_vmem_fits(cfg, nx, ny, dtype))
+        if use_vmem_loop is None:
+            use_vmem_loop = False
+            if dtype == jnp.float32 and _jax.default_backend() != "cpu":
+                from .ops.stencil_gp import (gp_kernel_supported,
+                                             gp_loop_vmem_fits)
+                use_vmem_loop = (gp_kernel_supported(cfg, ny, dims3, use3)
+                                 and gp_loop_vmem_fits(cfg, nx, ny, dtype))
 
         if use_vmem_loop:
             from .ops.stencil_gp import make_pallas_gp_loop_fn

@@ -215,3 +215,73 @@ def test_gp_fast_matches_host_frozen(tmp_path):
         np.asarray(p_fast.fc.get_real_field("pressure").p),
         np.asarray(p_host.fc.get_real_field("pressure").p),
         rtol=1e-6)
+
+
+def test_gp_fast_vmem_loop_matches_host(tmp_path):
+    """The whole-run-in-VMEM branch of run_steps_gp_fast (forced, in
+    interpret mode; on TPU the gate selects it automatically) equals the
+    host trajectory like the scan branch does — f32 comparison since the
+    kernel runs f32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 4
+    # the GP kernel needs lane-aligned widths and fully periodic edges;
+    # use a 2D periodic journal config instead of the 1D slider
+    cfgstr = f"""
+options:
+    output: {tmp_path}/vfast
+    write_freq: 1000
+    use_tstamp: False
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: 16
+    Ny: 128
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 100
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+gp:
+    press:
+        fix_noise: True
+        atol: 1.
+        rtol: 0.1
+        obs_stddev: 100.
+        max_steps: 2
+        active_learning: False
+db:
+    init_size: 4
+    init_method: sobol
+    init_width: 1.e-4
+    dtool_path: {tmp_path}/train_v
+"""
+    p_host = Problem.from_string(cfgstr)
+    p_host._pre_run()
+    p_fast = Problem.from_string(cfgstr.replace("/vfast", "/vfast2")
+                                 .replace("train_v", "train_v2"))
+    p_fast._pre_run()
+
+    for _ in range(n):
+        p_host.update()
+    with pltpu.force_tpu_interpret_mode():
+        p_fast.run_steps_gp_fast(n, use_vmem_loop=True)
+
+    assert p_fast.step == p_host.step == n
+    np.testing.assert_allclose(p_fast.q, p_host.q, rtol=2e-5, atol=1e-7)
