@@ -626,3 +626,186 @@ def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
         return _reassemble(q, out[:, HALO_X:HALO_X + nx, :])
 
     return loop
+
+
+def _kernel_gp_hbm_loop(cfg, gpspec, bs, nx, n_strips, n_sweeps, k,
+                        d0, d1, dt_ref, q_hbm, st_hbm, *refs):
+    """Whole-run temporal-blocked GP loop for VMEM-exceeding grids: the
+    full n_sweeps*k-step GP-closed run in ONE pallas_call, ping-ponging
+    the halo-extended state between two HBM buffers — the det
+    _kernel_fused_hbm_loop schedule with GP-surrogate passes.  Each
+    (sweep, strip) cell advances its strip k steps in VMEM (trapezoid
+    tiling: 2k <= HALO_X rows of halo consumed), double-buffered per
+    stencil._hbm_schedule; the (tiny) GP train arrays stay VMEM-resident
+    across the whole run."""
+    from .stencil import _hbm_schedule
+
+    if gpspec.get("mode") == "mxu":
+        Waug, Aaug = refs[:2]
+        outA, outB, q_loc, st_loc, out_loc, gp_out, sems = refs[2:]
+        gp_ops = (Waug, Aaug, gp_out, gpspec["du"], gpspec["mt"])
+    else:
+        n_models = sum(gpspec["use"])
+        gp_arrs = refs[:4 * n_models]
+        outA, outB, q_loc, st_loc, out_loc, gp_out, sems = \
+            refs[4 * n_models:]
+        del gp_out
+        gp_ops = {}
+        kk = 0
+        for key, used in zip(("z", "x", "y"), gpspec["use"]):
+            if used:
+                gp_ops[key] = tuple(gp_arrs[4 * kk:4 * kk + 4])
+                kk += 1
+
+    i = pl.program_id(1)
+    rows = bs + 2 * HALO_X
+    dt = dt_ref[0]
+
+    def start_in(slot, src, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        pltpu.make_async_copy(src.at[:, pl.ds(x0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(x0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).start()
+
+    def wait_in(slot):
+        pltpu.make_async_copy(q_hbm.at[:, pl.ds(0, rows), :],
+                              q_loc.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(st_hbm.at[:, pl.ds(0, rows), :],
+                              st_loc.at[slot], sems.at[2 + slot]).wait()
+
+    def out_copy(slot, dst, strip):
+        x0 = pl.multiple_of(strip * bs, 8)
+        return pltpu.make_async_copy(
+            out_loc.at[slot],
+            dst.at[:, pl.ds(HALO_X + x0, bs), :], sems.at[4 + slot])
+
+    def compute(slot):
+        st = tuple(st_loc[slot, c] for c in range(N_STATIC))
+        q0, q1, q2 = (q_loc[slot, c] for c in range(3))
+        for _ in range(k):
+            a, b, c = _one_pass_gp(cfg, gpspec, q0, q1, q2, st, dt, d0,
+                                   gp_ops)[:3]
+            a, b, c = _one_pass_gp(cfg, gpspec, a, b, c, st, dt, d1,
+                                   gp_ops)[:3]
+            q0 = (a + q0) / 2.
+            q1 = (b + q1) / 2.
+            q2 = (c + q2) / 2.
+        return q0, q1, q2
+
+    def store(slot, chs):
+        sl = slice(HALO_X, HALO_X + bs)
+        for c in range(3):
+            out_loc[slot, c] = chs[c][sl]
+
+    def halo_writes(slot, with_dst):
+        @pl.when(i == 0)
+        def _():
+            def halo(dst):
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(0, HALO_X), :],
+                    dst.at[:, pl.ds(nx + HALO_X, HALO_X), :], sems.at[6])
+                cp.start()
+                cp.wait()
+            with_dst(halo)
+
+        @pl.when(i == n_strips - 1)
+        def _():
+            def halo(dst):
+                cp = pltpu.make_async_copy(
+                    out_loc.at[slot, :, pl.ds(bs - HALO_X, HALO_X), :],
+                    dst.at[:, pl.ds(0, HALO_X), :], sems.at[6])
+                cp.start()
+                cp.wait()
+            with_dst(halo)
+
+    _hbm_schedule(n_strips, n_sweeps, q_hbm, outA, outB,
+                  start_in, wait_in, out_copy, compute, store, halo_writes)
+
+
+def make_pallas_gp_loop_hbm(cfg, active_dims, num_features, use_gp,
+                            nx, ny, caps, n_steps, bs=None,
+                            dtype=jnp.float32):
+    """HBM ping-pong counterpart of :func:`make_pallas_gp_loop_fn` for
+    grids whose state exceeds the VMEM budget (gp_loop_vmem_fits False):
+    ``loop(q, topo, extra, dt, gp_state) -> q`` advancing ``n_steps``
+    (a multiple of stencil.K_MULTI) in one pallas_call."""
+    from .stencil import K_MULTI
+
+    if not gp_kernel_supported(cfg, ny, active_dims, use_gp):
+        raise ValueError("GP Pallas kernel does not cover this config")
+    if n_steps % K_MULTI:
+        raise ValueError(f"n_steps must be a multiple of {K_MULTI}")
+    mxu = max(c for c, u in zip(caps, use_gp) if u) > UNROLL_CAP
+    if bs is None:
+        # tighter than the per-step kernel: two slots of (q, statics)
+        # strips + the pass temporaries are live at once
+        bs = max(8, min(nx, ((32 * 1024) // ny) // 8 * 8))
+        while nx % bs and bs > 8:
+            bs -= 8
+    bs = min(bs, nx)
+    assert nx % bs == 0 and bs % 8 == 0
+    rows = bs + 2 * HALO_X
+    d0, d1 = mc_directions(cfg.MC_order)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    gpspec = {"dims": active_dims, "use": use_gp}
+    n_models = sum(use_gp)
+    ext_shape = (3, nx + 2 * HALO_X, ny)
+    n_sweeps = n_steps // K_MULTI
+    if mxu:
+        du, Mtot, mt = _mxu_spec(active_dims, use_gp, caps)
+        gpspec.update(mode="mxu", du=du, mt=mt)
+        n_gp_arrs = 2
+    else:
+        du = Mtot = None
+        n_gp_arrs = 4 * n_models
+    scratch = [
+        pltpu.VMEM((2, 3, rows, ny), dtype),
+        pltpu.VMEM((2, N_STATIC, rows, ny), dtype),
+        pltpu.VMEM((2, 3, bs, ny), dtype),
+        pltpu.VMEM((8, rows, ny), dtype),
+        pltpu.SemaphoreType.DMA((7,)),
+    ]
+
+    kern = partial(_kernel_gp_hbm_loop, cfg, gpspec, bs, nx, nx // bs,
+                   n_sweeps, K_MULTI, d0, d1)
+
+    def loop(q, topo, extra, dt, gp_state):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        q_ext = _extend_interior(q[:, 1:-1, 1:-1])
+        stat_ext = _statics_ghosted(
+            _extend_interior(topo.astype(dtype)[:3, 1:-1, 1:-1]),
+            _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
+
+        if mxu:
+            gp_arrs = [a.astype(dtype) for a in _prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot)]
+        else:
+            gp_arrs = []
+            for key, dims, used in zip(("z", "x", "y"), active_dims,
+                                       use_gp):
+                if used:
+                    gp_arrs.extend(a.astype(dtype) for a in
+                                   _prep_gp_ops(gp_state, dims, key))
+
+        outs = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                     * n_gp_arrs,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)],
+            out_shape=[jax.ShapeDtypeStruct(ext_shape, dtype),
+                       jax.ShapeDtypeStruct(ext_shape, dtype)],
+            scratch_shapes=scratch,
+            grid=(n_sweeps, nx // bs),
+            compiler_params=params,
+        )(dt, q_ext, stat_ext, *gp_arrs)
+
+        out = outs[(n_sweeps - 1) % 2]
+        return _reassemble(q, out[:, HALO_X:HALO_X + nx, :])
+
+    return loop

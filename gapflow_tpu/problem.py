@@ -924,13 +924,17 @@ class Problem:
         extra = jnp.asarray(self.fc.get_real_field("extra").p, dtype)
         dt = jnp.asarray(self.dt, dtype)
 
+        kernel_ok = False
+        if dtype == jnp.float32 and _jax.default_backend() != "cpu":
+            from .ops.stencil_gp import gp_kernel_supported
+            kernel_ok = gp_kernel_supported(cfg, ny, dims3, use3)
         if use_vmem_loop is None:
-            use_vmem_loop = False
-            if dtype == jnp.float32 and _jax.default_backend() != "cpu":
-                from .ops.stencil_gp import (gp_kernel_supported,
-                                             gp_loop_vmem_fits)
-                use_vmem_loop = (gp_kernel_supported(cfg, ny, dims3, use3)
-                                 and gp_loop_vmem_fits(cfg, nx, ny, dtype))
+            from .ops.stencil_gp import gp_loop_vmem_fits
+            use_vmem_loop = (kernel_ok
+                             and gp_loop_vmem_fits(cfg, nx, ny, dtype))
+            use_hbm_loop = kernel_ok and not use_vmem_loop
+        else:
+            use_hbm_loop = False
 
         if use_vmem_loop:
             from .ops.stencil_gp import make_pallas_gp_loop_fn
@@ -941,6 +945,30 @@ class Problem:
                                               ny, caps3, c, dtype=dtype)
                 q = _jax.jit(loop)(q, topo, extra, dt, gp_state)
                 done += c
+        elif use_hbm_loop and n >= 4:
+            # VMEM-exceeding grids: HBM ping-pong whole-run GP kernel in
+            # K_MULTI-multiples; the remainder scans the per-step kernel
+            from .ops.stencil_gp import make_pallas_gp_loop_hbm
+            done = 0
+            n4 = (n // 4) * 4
+            while done < n4:
+                c = min(chunk // 4 * 4 or 4, n4 - done)
+                loop = make_pallas_gp_loop_hbm(cfg, dims3, nf, use3, nx,
+                                               ny, caps3, c, dtype=dtype)
+                q = _jax.jit(loop)(q, topo, extra, dt, gp_state)
+                done += c
+            if n - n4:
+                step_core = make_gp_step_core(cfg, dims3, nf, use3)
+
+                @_jax.jit
+                def rem_steps(q, dt, gp_state):
+                    def body(i, qq):
+                        qn, _ = step_core(qq, topo, extra, dt,
+                                          self.step + n4 + i, gp_state)
+                        return qn
+                    return _jax.lax.fori_loop(0, n - n4, body, q)
+
+                q = rem_steps(q, dt, gp_state)
         else:
             step_core = make_gp_step_core(cfg, dims3, nf, use3)
 

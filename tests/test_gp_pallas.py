@@ -182,3 +182,40 @@ def test_gp_pallas_loop_matches_steps(cap, tmp_path):
     sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
     sc = np.maximum(sc, 1e-6 * sc.max())
     assert np.max(np.abs(qk - qr) / sc) < 5e-5
+
+
+@pytest.mark.parametrize("cap,n", [(8, 4), (96, 8)])
+def test_gp_pallas_hbm_loop_matches_steps(cap, n, tmp_path):
+    """HBM ping-pong whole-run GP loop == n repeated GP steps (one- and
+    two-sweep cases; both capacity modes)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.ops.stencil_gp import make_pallas_gp_loop_hbm
+
+    problem, dims, use = _setup(True, str(tmp_path))
+    cfg = problem._solver_cfg
+    rng = np.random.default_rng(3)
+    gp_state = synthetic_state(dims, use, cap, rng)
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    nf = problem.database.num_features
+    ref_step = make_gp_step_core(cfg, dims, nf, use, allow_pallas=False)
+    qr = q
+    for s in range(n):
+        qr, _ = ref_step(qr, topo, extra, dt, s, gp_state)
+
+    caps = tuple(cap if u else 0 for u in use)
+    with pltpu.force_tpu_interpret_mode():
+        loop = make_pallas_gp_loop_hbm(cfg, dims, nf, use, 32, 128, caps,
+                                       n, bs=8)
+        qk = loop(q, topo, extra, dt, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    assert np.max(np.abs(qk - qr) / sc) < 5e-5
