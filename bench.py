@@ -107,13 +107,16 @@ def make_trajectory_steps(cfg, n):
     return run
 
 
-def bench_ehl_step(nx=1024, ny=1024):
+def bench_ehl_step(nx=1024, ny=1024, fft_grid=None):
     """Per-step-deformation EHL throughput (reference protocol: the
-    elastic FFT runs every fluid step).  Default-parity ghost-grid FFT."""
+    elastic FFT runs every fluid step).  Uses the config default FFT
+    grid ('interior' since round 3; pass fft_grid='ghost' for the
+    reference-parity convention)."""
     import jax.numpy as jnp
     from gapflow_tpu import Problem
     from gapflow_tpu.core.ehl import make_ehl_loop
 
+    fft = f"\n        fft_grid: {fft_grid}" if fft_grid else ""
     sim = f"""
 options:
     output: data/bench_ehl
@@ -147,7 +150,7 @@ properties:
     elastic:
         E: 5e09
         v: 0.3
-        alpha_underrelax: 1e-04
+        alpha_underrelax: 1e-04{fft}
 """
     problem = Problem.from_string(sim)
     problem._pre_run()
@@ -390,6 +393,7 @@ def main():
     throughput = bench_fv_step()
     fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
     ehl_1024 = bench_ehl_step()
+    ehl_1024_ghost = bench_ehl_step(fft_grid="ghost")
     ehl_4096 = bench_ehl_step(nx=4096, ny=4096)
     gp_closed_64 = bench_gp_closed(cap=64)
     gp_closed_1024 = bench_gp_closed(cap=1024, n_steps=24)
@@ -415,6 +419,7 @@ def main():
         "vs_baseline": float(throughput / fv_target),
         "fv_2048_cu_s": float(fv_2048),
         "ehl_1024_cu_s": float(ehl_1024),
+        "ehl_1024_ghost_cu_s": float(ehl_1024_ghost),
         "ehl_4096_cu_s": float(ehl_4096),
         "gp_closed_1024_cap64_cu_s": float(gp_closed_64),
         "gp_closed_1024_cap1024_cu_s": float(gp_closed_1024),

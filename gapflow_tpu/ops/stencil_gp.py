@@ -647,9 +647,7 @@ def _kernel_gp_hbm_loop(cfg, gpspec, bs, nx, n_strips, n_sweeps, k,
     else:
         n_models = sum(gpspec["use"])
         gp_arrs = refs[:4 * n_models]
-        outA, outB, q_loc, st_loc, out_loc, gp_out, sems = \
-            refs[4 * n_models:]
-        del gp_out
+        outA, outB, q_loc, st_loc, out_loc, sems = refs[4 * n_models:]
         gp_ops = {}
         kk = 0
         for key, used in zip(("z", "x", "y"), gpspec["use"]):
@@ -763,9 +761,10 @@ def make_pallas_gp_loop_hbm(cfg, active_dims, num_features, use_gp,
         pltpu.VMEM((2, 3, rows, ny), dtype),
         pltpu.VMEM((2, N_STATIC, rows, ny), dtype),
         pltpu.VMEM((2, 3, bs, ny), dtype),
-        pltpu.VMEM((8, rows, ny), dtype),
-        pltpu.SemaphoreType.DMA((7,)),
     ]
+    if mxu:
+        scratch.append(pltpu.VMEM((8, rows, ny), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((7,)))
 
     kern = partial(_kernel_gp_hbm_loop, cfg, gpspec, bs, nx, nx // bs,
                    n_sweeps, K_MULTI, d0, d1)

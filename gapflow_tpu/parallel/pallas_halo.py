@@ -164,23 +164,28 @@ def make_sharded_pallas_loop(cfg, mesh, nx, ny, dtype=jnp.float32):
     return jax.jit(sharded)
 
 
-def pad_blocks2_jnp(global_with_ghosts, px, py):
-    """Traceable :func:`pad_blocks2` (for per-iteration rebuilt statics,
-    e.g. the sharded EHL topography)."""
-    g = global_with_ghosts
+def _pad_blocks2_impl(g, px, py, xp):
+    """Shared 2-cell-halo overlapping-block layout (np or jnp)."""
     C, nxg, nyg = g.shape
     Nx, Ny = nxg - 2, nyg - 2
+    assert Nx % px == 0 and Ny % py == 0, "grid must divide the mesh"
     inter = g[:, 1:-1, 1:-1]
-    wide = jnp.concatenate([inter[:, -2:], inter, inter[:, :2]], axis=1)
-    wide = jnp.concatenate([wide[:, :, -2:], wide, wide[:, :, :2]],
-                           axis=2)
+    wide = xp.concatenate([inter[:, -2:], inter, inter[:, :2]], axis=1)
+    wide = xp.concatenate([wide[:, :, -2:], wide, wide[:, :, :2]],
+                          axis=2)
     bx, by = Nx // px, Ny // py
     rows = []
     for i in range(px):
         cols = [wide[:, i * bx:i * bx + bx + 4, j * by:j * by + by + 4]
                 for j in range(py)]
-        rows.append(jnp.concatenate(cols, axis=2))
-    return jnp.concatenate(rows, axis=1)
+        rows.append(xp.concatenate(cols, axis=2))
+    return xp.concatenate(rows, axis=1)
+
+
+def pad_blocks2_jnp(global_with_ghosts, px, py):
+    """Traceable :func:`pad_blocks2` (for per-iteration rebuilt statics,
+    e.g. the sharded EHL topography)."""
+    return _pad_blocks2_impl(global_with_ghosts, px, py, jnp)
 
 
 def pad_blocks2(global_with_ghosts, px, py):
@@ -189,23 +194,8 @@ def pad_blocks2(global_with_ghosts, px, py):
     (C, Nx+2, Ny+2) ghost-inclusive serial field -> (C, px*(bx+4),
     py*(by+4)) whose (i, j) block is that shard's interior plus a 2-cell
     halo (periodic wrap at the global edges); shard P(None, 'x', 'y')."""
-    g = np.asarray(global_with_ghosts)
-    C, nxg, nyg = g.shape
-    Nx, Ny = nxg - 2, nyg - 2
-    inter = g[:, 1:-1, 1:-1]
-    wide = np.concatenate([inter[:, -2:], inter, inter[:, :2]], axis=1)
-    wide = np.concatenate([wide[:, :, -2:], wide, wide[:, :, :2]], axis=2)
+    return _pad_blocks2_impl(np.asarray(global_with_ghosts), px, py, np)
 
-    bx, by = Nx // px, Ny // py
-    assert Nx % px == 0 and Ny % py == 0, "grid must divide the mesh"
-    rows = []
-    for i in range(px):
-        cols = []
-        for j in range(py):
-            cols.append(wide[:, i * bx:i * bx + bx + 4,
-                             j * by:j * by + by + 4])
-        rows.append(np.concatenate(cols, axis=2))
-    return np.concatenate(rows, axis=1)
 
 
 @lru_cache(maxsize=8)

@@ -927,46 +927,57 @@ class Problem:
         kernel_ok = False
         if dtype == jnp.float32 and _jax.default_backend() != "cpu":
             from .ops.stencil_gp import gp_kernel_supported
-            kernel_ok = gp_kernel_supported(cfg, ny, dims3, use3)
+            kernel_ok = (nx % 8 == 0
+                         and gp_kernel_supported(cfg, ny, dims3, use3))
         if use_vmem_loop is None:
             from .ops.stencil_gp import gp_loop_vmem_fits
             use_vmem_loop = (kernel_ok
                              and gp_loop_vmem_fits(cfg, nx, ny, dtype))
             use_hbm_loop = kernel_ok and not use_vmem_loop
         else:
+            # explicit override (test hook): True forces the VMEM loop,
+            # False forces the XLA scan fallback (no HBM loop either)
             use_hbm_loop = False
 
         if use_vmem_loop:
             from .ops.stencil_gp import make_pallas_gp_loop_fn
+            loops = {}   # one compile per distinct chunk length
             done = 0
             while done < n:
                 c = min(chunk, n - done)
-                loop = make_pallas_gp_loop_fn(cfg, dims3, nf, use3, nx,
-                                              ny, caps3, c, dtype=dtype)
-                q = _jax.jit(loop)(q, topo, extra, dt, gp_state)
+                if c not in loops:
+                    loops[c] = _jax.jit(make_pallas_gp_loop_fn(
+                        cfg, dims3, nf, use3, nx, ny, caps3, c,
+                        dtype=dtype))
+                q = loops[c](q, topo, extra, dt, gp_state)
                 done += c
         elif use_hbm_loop and n >= 4:
             # VMEM-exceeding grids: HBM ping-pong whole-run GP kernel in
             # K_MULTI-multiples; the remainder scans the per-step kernel
             from .ops.stencil_gp import make_pallas_gp_loop_hbm
+            from .ops.stencil import K_MULTI
+            loops = {}
             done = 0
-            n4 = (n // 4) * 4
-            while done < n4:
-                c = min(chunk // 4 * 4 or 4, n4 - done)
-                loop = make_pallas_gp_loop_hbm(cfg, dims3, nf, use3, nx,
-                                               ny, caps3, c, dtype=dtype)
-                q = _jax.jit(loop)(q, topo, extra, dt, gp_state)
+            nk = (n // K_MULTI) * K_MULTI
+            ck = chunk // K_MULTI * K_MULTI or K_MULTI
+            while done < nk:
+                c = min(ck, nk - done)
+                if c not in loops:
+                    loops[c] = _jax.jit(make_pallas_gp_loop_hbm(
+                        cfg, dims3, nf, use3, nx, ny, caps3, c,
+                        dtype=dtype))
+                q = loops[c](q, topo, extra, dt, gp_state)
                 done += c
-            if n - n4:
+            if n - nk:
                 step_core = make_gp_step_core(cfg, dims3, nf, use3)
 
                 @_jax.jit
                 def rem_steps(q, dt, gp_state):
                     def body(i, qq):
                         qn, _ = step_core(qq, topo, extra, dt,
-                                          self.step + n4 + i, gp_state)
+                                          self.step + nk + i, gp_state)
                         return qn
-                    return _jax.lax.fori_loop(0, n - n4, body, q)
+                    return _jax.lax.fori_loop(0, n - nk, body, q)
 
                 q = rem_steps(q, dt, gp_state)
         else:
