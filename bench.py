@@ -386,9 +386,37 @@ def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     return refit_s, update_s
 
 
+def _probe_device(timeout_s=180):
+    """Fail fast (and loudly) when the TPU runtime is unreachable.
+
+    Backend init through a wedged tunnel hangs indefinitely; probing in
+    a subprocess with a timeout turns that into a diagnostic JSON line
+    and a nonzero exit instead of a silent driver stall."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((8, 8)); print(float(x.sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             timeout=timeout_s, capture_output=True)
+        if out.returncode == 0:
+            return None
+        return out.stderr.decode()[-400:]
+    except subprocess.TimeoutExpired:
+        return f"device probe timed out after {timeout_s}s"
+
+
 def main():
     fv_target = 1e9
     gp_target = 5e-3
+
+    err = _probe_device()
+    if err is not None:
+        print(json.dumps({
+            "metric": "FV cell-updates/s/chip @1024^2 (f32)",
+            "value": 0.0, "unit": "cell-updates/s", "vs_baseline": 0.0,
+            "error": f"TPU runtime unreachable: {err}",
+        }))
+        sys.exit(1)
 
     throughput = bench_fv_step()
     fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
