@@ -1759,6 +1759,16 @@ def make_pallas_step(cfg, nx, ny, bs=None, dtype=jnp.float32):
     Matches :func:`gapflow_tpu.core.step.make_det_step` for periodic
     problems (minus residual/validity bookkeeping).
     """
+    from .mixed_bc import make_mixed_loop, mixed_supported
+    if mixed_supported(cfg, ny, nx):
+        mloop = make_mixed_loop(cfg, nx, ny, bs=bs, dtype=dtype)
+
+        def step(q, topo, extra, dt, step_idx):
+            del step_idx
+            return mloop(q, topo, extra, dt, 1)
+
+        return step
+
     call, extend, reassemble, fused = _make_call(cfg, nx, ny, bs, dtype)[:4]
 
     @jax.jit
@@ -1820,6 +1830,17 @@ def make_pallas_loop(cfg, nx, ny, bs=None, dtype=jnp.float32,
     """
     if with_lo and not compensated:
         raise ValueError("with_lo requires compensated=True")
+
+    from .mixed_bc import make_mixed_loop, mixed_supported
+    if mixed_supported(cfg, ny, nx):
+        # mixed per-component P/D/N edges: evolved-ghost carry, one
+        # kernel per step with XLA ghost-line bands (ops.mixed_bc)
+        if with_lo:
+            raise ValueError("mixed-edge loop does not expose the Kahan "
+                             "carry (no chunked EHL driver on mixed edges)")
+        return make_mixed_loop(cfg, nx, ny, bs=bs, dtype=dtype,
+                               compensated=compensated)
+
     (call, extend, reassemble, fused, ext_step, call_ext, vmem_factory,
      hbm_factory, ext_lo, int_slice) = _make_call(cfg, nx, ny, bs, dtype,
                                                   compensated)

@@ -705,7 +705,7 @@ class Problem:
         Kahan accumulation of the per-step increments, required for small
         fixed dt in float32 (see ops.stencil.make_pallas_loop).
         """
-        from .ops import make_pallas_loop, pallas_supported
+        from .ops import make_pallas_loop, mixed_supported, pallas_supported
         import jax.numpy as _jnp
 
         if self.has_gp_model or self.topo.elastic:
@@ -717,7 +717,8 @@ class Problem:
             raise RuntimeError("run_steps_fast uses a fixed dt")
 
         ny = self.grid["Ny"]
-        if not pallas_supported(self._solver_cfg, ny):
+        if not (pallas_supported(self._solver_cfg, ny)
+                or mixed_supported(self._solver_cfg, ny, self.grid["Nx"])):
             self.run_steps(n)
             return
 
@@ -1010,13 +1011,15 @@ class Problem:
     def _fast_run_eligible(self):
         """The chunked Pallas convergence run applies to float32 (x64 off)
         deterministic, non-elastic problems the fused kernel covers."""
-        from .ops import pallas_supported
+        from .ops import mixed_supported, pallas_supported
         import jax as _jax
 
         return (not _jax.config.jax_enable_x64
                 and _jax.default_backend() == "tpu"
                 and not self.has_gp_model and not self.topo.elastic
-                and pallas_supported(self._solver_cfg, self.grid["Ny"]))
+                and (pallas_supported(self._solver_cfg, self.grid["Ny"])
+                     or mixed_supported(self._solver_cfg, self.grid["Ny"],
+                                        self.grid["Nx"])))
 
     def run_compiled_fast(self, max_steps=None, chunk=1024,
                           compensated=True):
