@@ -386,23 +386,36 @@ def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     return refit_s, update_s
 
 
-def _probe_device(timeout_s=180):
+def _probe_device(timeout_s=600, attempts=3):
     """Fail fast (and loudly) when the TPU runtime is unreachable.
 
     Backend init through a wedged tunnel hangs indefinitely; probing in
     a subprocess with a timeout turns that into a diagnostic JSON line
-    and a nonzero exit instead of a silent driver stall."""
+    and a nonzero exit instead of a silent driver stall.  A healthy but
+    congested tunnel has been measured at ~110 s for first device init,
+    so the timeout is generous and the probe retries: transient tunnel
+    drops recover within minutes and a lost bench round costs more than
+    a slow one."""
     import subprocess
+    import time
     code = ("import jax, jax.numpy as jnp; "
             "x = jnp.ones((8, 8)); print(float(x.sum()))")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             timeout=timeout_s, capture_output=True)
-        if out.returncode == 0:
-            return None
-        return out.stderr.decode()[-400:]
-    except subprocess.TimeoutExpired:
-        return f"device probe timed out after {timeout_s}s"
+    err = "no probe attempts made"
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(60)
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 timeout=timeout_s, capture_output=True)
+            if out.returncode == 0:
+                return None
+            err = out.stderr.decode()[-400:]
+        except subprocess.TimeoutExpired:
+            err = f"device probe timed out after {timeout_s}s"
+        print(f"# device probe attempt {attempt + 1}/{attempts} failed: "
+              f"{err.splitlines()[-1] if err.splitlines() else err}",
+              file=sys.stderr)
+    return err
 
 
 def main():

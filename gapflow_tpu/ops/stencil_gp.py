@@ -115,19 +115,25 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
     rows, ny = feats[0].shape
     Mtot = Waug_ref.shape[0]
     n_t = Mtot // mt
-    fdu = [feats[d] for d in du]
-    fsq = [f * f for f in fdu]
+    d_n = len(du)
     ones = jnp.ones((1, ny), jnp.float32)
+
+    # Stage the (scaled) feature columns and their squares into the
+    # scratch channels 8.. of out_ref: the row-block loop below is
+    # ROLLED (fori_loop) and Mosaic cannot dynamic-slice VALUES inside
+    # it — only refs.  One extra VMEM write/read per cell.
+    for i, d in enumerate(du):
+        out_ref[8 + i] = feats[d]
+        out_ref[8 + d_n + i] = feats[d] * feats[d]
 
     def body(rbi, carry):
         r0 = pl.multiple_of(rbi * 8, 8)
-        blks = [lax.dynamic_slice_in_dim(f, r0, 8, axis=0) for f in fdu]
-        sqs = [lax.dynamic_slice_in_dim(f, r0, 8, axis=0) for f in fsq]
+        blks = out_ref[8:8 + 2 * d_n, pl.ds(r0, 8), :]
         accs = []
         for rr in range(8):
             xaug = jnp.concatenate(
-                [b[rr:rr + 1] for b in blks]
-                + [s[rr:rr + 1] for s in sqs] + [ones], axis=0)
+                [blks[i, rr:rr + 1] for i in range(2 * d_n)] + [ones],
+                axis=0)
             acc = jnp.zeros((8, ny), jnp.float32)
             for t in range(n_t):
                 Wt = Waug_ref[pl.ds(t * mt, mt), :]
@@ -139,7 +145,7 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
                 acc = acc + jnp.dot(Aaug_ref[:, pl.ds(t * mt, mt)], km,
                                     preferred_element_type=jnp.float32)
             accs.append(acc)
-        out_ref[:, pl.ds(r0, 8), :] = jnp.stack(accs, axis=1)
+        out_ref[:8, pl.ds(r0, 8), :] = jnp.stack(accs, axis=1)
         return carry
 
     lax.fori_loop(0, rows // 8, body, 0)
@@ -383,7 +389,9 @@ def make_gp_call(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
         du, Mtot, mt = _mxu_spec(active_dims, use_gp, caps)
         gpspec.update(mode="mxu", du=du, mt=mt)
         n_gp_arrs = 2
-        scratch.append(pltpu.VMEM((8, rows, ny), dtype))
+        # channels 8..: staged feature columns for the rolled
+        # row-block loop of _gp_all_mxu (ref-sliceable)
+        scratch.append(pltpu.VMEM((8 + 2 * len(du), rows, ny), dtype))
     else:
         du = Mtot = None
         n_gp_arrs = 4 * n_models
@@ -535,17 +543,57 @@ def _kernel_gp_vmem(cfg, gpspec, bs, nx, n_steps, d0, d1,
         cp.wait()
 
 
-def gp_loop_vmem_fits(cfg, nx, ny, dtype=jnp.float32):
-    """Whether the ping-pong state + statics + GP scratch fit VMEM."""
+def _gp_vmem_need(nx, ny, dtype, bs, cap_max):
+    """Scoped-VMEM estimate for the whole-run GP loop at strip size bs.
+
+    2x3 ping-pong state channels + statics resident for the whole run;
+    per-strip: the (8, rows, ny) GP scratch plus the live per-cell pass
+    temporaries.  In the UNROLLED accumulation (cap_max <= UNROLL_CAP)
+    Mosaic keeps ~3 temporaries live per unrolled train point (measured
+    214 floats/cell at capacity 64 — 115.9 MB total at 1024^2, bs 64),
+    so the coefficient scales with capacity; the MXU formulation's tile
+    loop is rolled and its live set is capacity-independent."""
     item = jnp.dtype(dtype).itemsize
     ext_bytes = (nx + 2 * HALO_X) * ny * item
+    rows = bs + 2 * HALO_X
+    if cap_max > UNROLL_CAP:
+        # 8 output + up to 14 staged feature channels in the gp scratch
+        strip = (22 * rows + 80 * bs) * ny * item \
+            + 6 * MXU_TILE * ny * item
+    else:
+        strip = (8 * rows + (int(3.3 * cap_max) + 50) * bs) * ny * item
+    return (6 + N_STATIC) * ext_bytes + strip
+
+
+_GP_VMEM_BUDGET = 90 * 1024 * 1024
+
+
+def _gp_loop_bs(nx, ny, dtype, cap_max):
+    """Largest strip (multiple of 8, divides nx) within the VMEM budget,
+    capped at the det-kernel heuristic; None if even bs=8 overflows."""
     bs = max(8, min(nx, ((64 * 1024) // ny) // 8 * 8))
-    # 2x3 ping-pong state channels + statics resident; per-strip: the
-    # (8, rows, ny) GP output scratch plus ~70 live per-cell pass
-    # temporaries (factored closures + GP tile block)
-    strip = (8 * (bs + 2 * HALO_X) + 70 * bs) * ny * item
-    need = (6 + N_STATIC) * ext_bytes + strip
-    return need < 90 * 1024 * 1024
+    while nx % bs and bs > 8:
+        bs -= 8
+    while bs >= 8:
+        if nx % bs == 0 and \
+                _gp_vmem_need(nx, ny, dtype, bs, cap_max) < _GP_VMEM_BUDGET:
+            return bs
+        bs -= 8
+    return None
+
+
+def gp_loop_vmem_fits(cfg, nx, ny, dtype=jnp.float32, caps=None,
+                      use_gp=None):
+    """Whether the ping-pong state + statics + GP scratch fit VMEM (at
+    SOME strip size).  caps/use_gp refine the live-temporary estimate of
+    the unrolled accumulation; without them the worst unrolled capacity
+    (UNROLL_CAP) is assumed."""
+    if caps is None:
+        cap_max = UNROLL_CAP
+    else:
+        used = [c for c, u in zip(caps, use_gp or (True,) * len(caps)) if u]
+        cap_max = max(used) if used else UNROLL_CAP
+    return _gp_loop_bs(nx, ny, dtype, cap_max) is not None
 
 
 def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
@@ -560,13 +608,12 @@ def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
     """
     if not gp_kernel_supported(cfg, ny, active_dims, use_gp):
         raise ValueError("GP Pallas kernel does not cover this config")
-    if not gp_loop_vmem_fits(cfg, nx, ny, dtype):
+    if not gp_loop_vmem_fits(cfg, nx, ny, dtype, caps, use_gp):
         raise ValueError("state does not fit the whole-run VMEM budget")
-    mxu = max(c for c, u in zip(caps, use_gp) if u) > UNROLL_CAP
+    cap_max = max(c for c, u in zip(caps, use_gp) if u)
+    mxu = cap_max > UNROLL_CAP
     if bs is None:
-        bs = max(8, min(nx, ((64 * 1024) // ny) // 8 * 8))
-        while nx % bs and bs > 8:
-            bs -= 8
+        bs = _gp_loop_bs(nx, ny, dtype, cap_max)
     bs = min(bs, nx)
     assert nx % bs == 0 and bs % 8 == 0
     rows = bs + 2 * HALO_X
@@ -582,7 +629,9 @@ def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
         du, Mtot, mt = _mxu_spec(active_dims, use_gp, caps)
         gpspec.update(mode="mxu", du=du, mt=mt)
         n_gp_arrs = 2
-        scratch.append(pltpu.VMEM((8, rows, ny), dtype))
+        # channels 8..: staged feature columns for the rolled
+        # row-block loop of _gp_all_mxu (ref-sliceable)
+        scratch.append(pltpu.VMEM((8 + 2 * len(du), rows, ny), dtype))
     else:
         Mtot = None
         n_gp_arrs = 4 * n_models
@@ -763,7 +812,9 @@ def make_pallas_gp_loop_hbm(cfg, active_dims, num_features, use_gp,
         pltpu.VMEM((2, 3, bs, ny), dtype),
     ]
     if mxu:
-        scratch.append(pltpu.VMEM((8, rows, ny), dtype))
+        # channels 8..: staged feature columns for the rolled
+        # row-block loop of _gp_all_mxu (ref-sliceable)
+        scratch.append(pltpu.VMEM((8 + 2 * len(du), rows, ny), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((7,)))
 
     kern = partial(_kernel_gp_hbm_loop, cfg, gpspec, bs, nx, nx // bs,

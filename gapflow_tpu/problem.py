@@ -933,7 +933,8 @@ class Problem:
         if use_vmem_loop is None:
             from .ops.stencil_gp import gp_loop_vmem_fits
             use_vmem_loop = (kernel_ok
-                             and gp_loop_vmem_fits(cfg, nx, ny, dtype))
+                             and gp_loop_vmem_fits(cfg, nx, ny, dtype,
+                                                   caps3, use3))
             use_hbm_loop = kernel_ok and not use_vmem_loop
         else:
             # explicit override (test hook): True forces the VMEM loop,
