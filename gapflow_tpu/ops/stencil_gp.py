@@ -137,13 +137,19 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
             acc = jnp.zeros((8, ny), jnp.float32)
             for t in range(n_t):
                 Wt = Waug_ref[pl.ds(t * mt, mt), :]
+                # HIGHEST: the default bf16 matmul passes cost ~2^-9
+                # relative on the staged features — the same precision
+                # leak the round-2 XLA contractions had (bench caught
+                # both on hardware; CPU interpret mode cannot see it)
                 arg2 = jnp.dot(Wt, xaug,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)
                 arg = jnp.sqrt(jnp.maximum(arg2, 3e-14))
                 e = jnp.exp(-arg)
                 km = e + arg * e
                 acc = acc + jnp.dot(Aaug_ref[:, pl.ds(t * mt, mt)], km,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)
             accs.append(acc)
         out_ref[:8, pl.ds(r0, 8), :] = jnp.stack(accs, axis=1)
         return carry

@@ -87,6 +87,46 @@ def test_odd_sizes_fall_back_to_complex(shape):
     assert np.abs(got - ref).max() <= 1e-11 * np.abs(ref).max()
 
 
+@pytest.fixture
+def force_smooth_mm(monkeypatch):
+    """Engage the large-smooth-size full-matmul stage regardless of
+    backend or threshold (production gates it to TPU at >= 4096)."""
+    monkeypatch.setattr(specfft, "_SMOOTH_MM_FORCE", [True])
+    monkeypatch.setattr(specfft, "_SMOOTH_MM_MIN", [64])
+
+
+@pytest.mark.parametrize("n", [64, 96, 128, 256])
+def test_smooth_matmul_fft_matches_numpy(n, force_smooth_mm):
+    assert specfft._smooth_mm_split(n) is not None
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((5, n)) + 1j * rng.standard_normal((5, n))
+    got = np.asarray(specfft._fft_last(jnp.asarray(x), n))
+    ref = np.fft.fft(x, axis=-1)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-10
+
+
+def test_smooth_matmul_convolution_matches_native(force_smooth_mm):
+    """The packed half-spectrum convolution is unchanged when its axis
+    passes run through the full-matmul stage."""
+    shape = (128, 64)
+    rng = np.random.default_rng(19)
+    p = rng.standard_normal(shape)
+    G = rng.standard_normal(shape)
+    Gs = 0.5 * (G + np.roll(G[::-1, ::-1], (1, 1), (0, 1)))
+    w_t = jnp.asarray(np.fft.fft2(Gs).real.T)
+
+    got = np.asarray(specfft._spectral_multiply_real(jnp.asarray(p), w_t,
+                                                     1.3))
+    ref = 1.3 * np.fft.ifft2(np.fft.fft2(p) * np.fft.fft2(Gs).real).real
+    assert np.abs(got - ref).max() <= 1e-10 * np.abs(ref).max()
+
+
+def test_smooth_matmul_disabled_by_default():
+    """The smooth-size matmul stage is a measured opt-in (the native
+    passes win at HIGHEST precision on v5e) — off unless enabled."""
+    assert specfft._smooth_mm_split(4096) is None
+
+
 def test_periodic_halfspace_mixed_equals_native():
     """1026-point periodic kernel (mixed-radix) vs a hand-built rfft2 path."""
     from gapflow_tpu.elastic import PeriodicHalfSpace
