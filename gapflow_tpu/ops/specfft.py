@@ -258,6 +258,71 @@ def _spectral_multiply_real(p, w_full_t, scale):
     return jnp.stack([zo.real, zo.imag], axis=1).reshape(nx, ny)
 
 
+def spectral_multiply_padded(p, w_full_t, scale=1.):
+    """First-quadrant output of the ZERO-PADDED spectral convolution.
+
+    ``scale * irfft2(rfft2(pad2(p)) * w)[:nx, :ny]`` where ``pad2``
+    zero-pads an (nx, ny) real field to (2nx, 2ny) and ``w_full_t`` is
+    the transposed full (2nx, 2ny) spectrum of a real convolution
+    kernel even under index negation (the free/semi-periodic elastic
+    Green's functions).
+
+    The padded free-space convolution is the per-step cost of
+    reference-protocol EHL (reference GaPFlow/topography.py:424-441
+    recomputes the deformation every fluid step); the spectral passes
+    are HBM-traversal-bound, so the win here is pruning: the input
+    occupies one quadrant of the padded grid and only that quadrant of
+    the output is consumed, so the y-axis passes run on the nonzero /
+    needed ROW PAIRS only (nx/2 packed rows instead of nx) and the
+    padded (2nx, 2ny) real arrays are never materialized.  Only the
+    x-axis passes (which the full-spectrum weight product genuinely
+    couples across all 2nx wavenumbers) touch padded-length data.
+
+    Requires even nx, ny; the caller falls back to explicit padding +
+    ``spectral_multiply_t`` otherwise.
+    """
+    nx, ny = p.shape
+    assert nx % 2 == 0 and ny % 2 == 0, "pruned path needs even sizes"
+    Mx, My = 2 * nx, 2 * ny
+    kh = My // 2 + 1                       # = ny + 1
+    zero = jnp.zeros((), p.dtype)
+    inv_n = scale / (Mx * My)
+
+    # forward y on the nonzero packed row pairs (rows nx..2nx-1 of the
+    # padded field are zero -> their packed rows never exist)
+    z = lax.complex(p[0::2, :], p[1::2, :])            # (nx/2, ny)
+    Z = _fft_last(jnp.pad(z, ((0, 0), (0, My - ny))), My)
+    idx = (-np.arange(kh)) % My
+    Zh = Z[:, :kh]
+    Zr = jnp.conj(Z[:, idx])
+    F_even = 0.5 * (Zh + Zr)
+    F_odd = lax.complex(zero, -0.5 * jnp.ones((), p.dtype)) * (Zh - Zr)
+    F = jnp.stack([F_even, F_odd], axis=1).reshape(nx, kh)
+
+    # forward x over the kh non-redundant columns: zero-pad the spatial
+    # rows nx -> 2nx (transposed layout)
+    Ft = jnp.pad(jnp.swapaxes(F, -1, -2), ((0, 0), (0, Mx - nx)))
+    G = _fft_last(Ft, Mx)                              # G[k, i] = S[i, k]
+    V = G * (w_full_t[:kh, :] * inv_n).astype(p.dtype)
+
+    # inverse x (conj-forward-conj); only spatial rows i < nx are needed
+    U = jnp.conj(_fft_last(jnp.conj(V), Mx))
+    Uh = jnp.swapaxes(U[:, :nx], -1, -2)               # (nx, kh)
+
+    # pack the needed output row pairs, extend k to the full ring,
+    # inverse y, drop the padded column half
+    A, B = Uh[0::2, :], Uh[1::2, :]                    # (nx/2, kh)
+    iB = lax.complex(-B.imag, B.real)
+    head = A + iB                                      # k = 0 .. My/2
+    tailA = jnp.conj(A[:, 1:My - kh + 1][:, ::-1])
+    tailB = jnp.conj(B[:, 1:My - kh + 1][:, ::-1])
+    tail = tailA + lax.complex(-tailB.imag, tailB.real)
+    Zf = jnp.concatenate([head, tail], axis=-1)        # (nx/2, My)
+    zo = jnp.conj(_fft_last(jnp.conj(Zf), My))
+    out = jnp.stack([zo.real, zo.imag], axis=1).reshape(nx, My)
+    return out[:, :ny]
+
+
 def spectral_multiply(p, w_full):
     """``irfft2(rfft2(p) * w)`` for real p and a real full-spectrum w.
 

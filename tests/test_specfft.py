@@ -166,3 +166,52 @@ def test_free_halfspace_mixed_equals_native():
     ref = np.fft.irfft2(np.fft.rfft2(ppad) * Ghat_full[:, :n + 1],
                         s=(2 * n, 2 * n))[:n, :n]
     assert np.abs(u - ref).max() <= 1e-10 * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (54, 38), (36, 34),
+                                   (102, 64), (38, 38)])
+def test_spectral_multiply_padded_matches_explicit(shape):
+    """Pruned zero-padded convolution == explicit pad + full path, for
+    smooth and mixed-radix padded sizes (the free/semi-periodic elastic
+    Green's function per-step EHL hot path)."""
+    nx, ny = shape
+    Mx, My = 2 * nx, 2 * ny
+    rng = np.random.default_rng(23)
+    p = rng.standard_normal(shape)
+    # real-even padded-torus kernel (the Love kernel's symmetry)
+    G = rng.standard_normal((Mx, My))
+    Gs = 0.5 * (G + np.roll(G[::-1, ::-1], (1, 1), (0, 1)))
+    w = np.fft.fft2(Gs).real
+    w_t = jnp.asarray(np.ascontiguousarray(w.T))
+
+    ppad = np.zeros((Mx, My))
+    ppad[:nx, :ny] = p
+    ref = 0.41 * np.fft.ifft2(np.fft.fft2(ppad) * w).real[:nx, :ny]
+    got = np.asarray(specfft.spectral_multiply_padded(
+        jnp.asarray(p), w_t, 0.41))
+    assert got.shape == (nx, ny)
+    assert np.abs(got - ref).max() <= 1e-11 * np.abs(ref).max()
+
+
+def test_free_halfspace_pruned_equals_explicit_padding():
+    """FreeHalfSpace.deformation through the pruned path equals the
+    explicit zero-pad + spectral_multiply_t formulation bit-for-bit in
+    intent (same spectrum, same weights) and to FFT roundoff in value."""
+    from gapflow_tpu.elastic import FreeHalfSpace
+
+    nx, ny = 48, 40
+    hs = FreeHalfSpace((nx, ny), 5e9, (1e-3, 1e-3), n_images_x=2)
+    hs._spec = True    # force the spectral path at test-friendly size
+    if not hasattr(hs, "_Ghat_t"):
+        Ghat = np.fft.fft2(np.asarray(
+            np.fft.irfft2(np.asarray(hs._Ghat), s=hs._padded))).real
+        hs._Ghat_t = jnp.asarray(np.ascontiguousarray(Ghat.T))
+
+    rng = np.random.default_rng(29)
+    p = jnp.asarray(rng.standard_normal((nx, ny)) * 1e5)
+    got = np.asarray(hs.deformation(p))
+
+    ppad = jnp.zeros(hs._padded).at[:nx, :ny].set(p)
+    ref = np.asarray(specfft.spectral_multiply_t(
+        ppad, hs._Ghat_t))[:nx, :ny]
+    assert np.abs(got - ref).max() <= 1e-10 * np.abs(ref).max()
