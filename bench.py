@@ -386,35 +386,179 @@ def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     return refit_s, update_s
 
 
-def _probe_device(timeout_s=600, attempts=3):
+def bench_gp_ehl(nx=1024, ny=1024, cap=64):
+    """Fused GP x elastic production throughput (the elastic route of
+    run_steps_gp_fast, reference protocol deform_every=1): per step the
+    fused GP kernel closes the fluid step and the FFT half-space deforms
+    the surface from the pass-2 pressure (core.ehl.make_gp_ehl_loop).
+    Three synthetic frozen surrogates at padded capacity ``cap``."""
+    import jax.numpy as jnp
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.step import apply_bcs
+    from gapflow_tpu.core.ehl import make_gp_ehl_loop
+    from gapflow_tpu.validate import synthetic_gp_state
+
+    sim = f"""
+options:
+    output: data/bench_gp_ehl
+    write_freq: 1000000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {nx}
+    Ny: {ny}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 100000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-04
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    dims = ((0, 3), (0, 1, 3), (0, 2, 3))
+    use = (True, True, True)
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_gp_state(dims, use, cap, rng)
+
+    loop = make_gp_ehl_loop(problem, dims, 7, use, dtype=jnp.float32)
+    q0 = apply_bcs(jnp.asarray(np.asarray(problem.q), jnp.float32), cfg)
+    topo0 = jnp.asarray(problem.topo.full, jnp.float32)
+    u0 = jnp.zeros(np.asarray(problem.topo.deformation).shape, jnp.float32)
+    dt = jnp.float32(problem.dt)
+    step0 = jnp.asarray(0, jnp.int32)
+
+    def run(n):
+        q, u = loop(q0, u0, topo0, dt, step0, n, gp_state)
+        float(jnp.sum(u))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q, u = loop(q0, u0, topo0, dt, step0, n, gp_state)
+            float(jnp.sum(u))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    per_step = (run(120) - run(20)) / 100
+    return nx * ny / per_step
+
+
+def bench_gp_al_e2e(nx=1024, ny=1024, n_steps=200):
+    """User-visible multiscale number: chunked active-learning wall-clock.
+
+    Runs ``run_steps_gp_chunked`` with the mock MD oracle at nx*ny from a
+    cold (freshly sampled) database and times the WHOLE call — compiled
+    stepping plus every host acquisition round-trip, MD oracle run, BFGS
+    refit and buffer refresh.  This is the reference's only hot loop
+    (GaPFlow/models/gp.py:435-506) measured end to end, compile included
+    (a user's first run pays it too).  Returns (cell-updates/s, n_acq).
+    """
+    import shutil
+    from gapflow_tpu import Problem
+
+    out = "data/bench_gp_al"
+    shutil.rmtree(out, ignore_errors=True)
+    sim = f"""
+options:
+    output: {out}/run
+    write_freq: 1000000
+    use_tstamp: False
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {nx}
+    Ny: {ny}
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 1000000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+gp:
+    press:
+        fix_noise: True
+        atol: 1.e-2
+        rtol: 0.
+        obs_stddev: 1.e-3
+        max_steps: 2
+        active_learning: True
+    shear:
+        fix_noise: True
+        atol: 1.e-2
+        rtol: 0.
+        obs_stddev: 1.e-4
+        max_steps: 2
+        active_learning: True
+db:
+    init_size: 4
+    init_method: lhc
+    dtool_path: {out}/train
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+
+    t0 = time.perf_counter()
+    n_acq = problem.run_steps_gp_chunked(n_steps)
+    wall = time.perf_counter() - t0
+    return nx * ny * n_steps / wall, int(n_acq)
+
+
+def _probe_device(timeout_s=150):
     """Fail fast (and loudly) when the TPU runtime is unreachable.
 
     Backend init through a wedged tunnel hangs indefinitely; probing in
     a subprocess with a timeout turns that into a diagnostic JSON line
-    and a nonzero exit instead of a silent driver stall.  A healthy but
-    congested tunnel has been measured at ~110 s for first device init,
-    so the timeout is generous and the probe retries: transient tunnel
-    drops recover within minutes and a lost bench round costs more than
-    a slow one."""
+    and an immediate nonzero exit instead of a silent driver stall.
+    ONE attempt with a ~150 s budget (healthy init through a congested
+    tunnel measures ~110 s): retries that outlive the driver's bench
+    window lose the whole round — round 3 proved it (rc=124 with zero
+    metrics after a 3x600s retry loop)."""
     import subprocess
-    import time
     code = ("import jax, jax.numpy as jnp; "
             "x = jnp.ones((8, 8)); print(float(x.sum()))")
-    err = "no probe attempts made"
-    for attempt in range(attempts):
-        if attempt:
-            time.sleep(60)
-        try:
-            out = subprocess.run([sys.executable, "-c", code],
-                                 timeout=timeout_s, capture_output=True)
-            if out.returncode == 0:
-                return None
-            err = out.stderr.decode()[-400:]
-        except subprocess.TimeoutExpired:
-            err = f"device probe timed out after {timeout_s}s"
-        print(f"# device probe attempt {attempt + 1}/{attempts} failed: "
-              f"{err.splitlines()[-1] if err.splitlines() else err}",
-              file=sys.stderr)
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             timeout=timeout_s, capture_output=True)
+        if out.returncode == 0:
+            return None
+        err = out.stderr.decode()[-400:]
+    except subprocess.TimeoutExpired:
+        err = f"device probe timed out after {timeout_s}s"
     return err
 
 
@@ -431,49 +575,107 @@ def main():
         }))
         sys.exit(1)
 
-    throughput = bench_fv_step()
-    fv_2048 = bench_fv_step(nx=2048, ny=2048, n_steps=2048)
-    ehl_1024 = bench_ehl_step()
-    ehl_1024_ghost = bench_ehl_step(fft_grid="ghost")
-    ehl_4096 = bench_ehl_step(nx=4096, ny=4096)
-    gp_closed_64 = bench_gp_closed(cap=64)
-    gp_closed_1024 = bench_gp_closed(cap=1024, n_steps=24)
-    shard_local = bench_sharded_local()
-    gp_refit_s, gp_update_s = bench_gp_refit()
-
-    from gapflow_tpu.parallel.pallas_halo import ici_bytes_per_step
-    ici = {f"{m}_2048_2x4_bytes_per_step_per_chip":
-           float(ici_bytes_per_step(2048, 2048, 2, 4, m))
-           for m in ("det", "gp", "ehl")}
-
-    # correctness on the SAME backend as the throughput numbers: f32
-    # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
-    # equality (on TPU this is the only Mosaic-compiled check; the CPU
-    # suite runs the kernels in interpret mode only)
-    from gapflow_tpu.validate import correctness_block
-    correctness = correctness_block()
-
+    # Streamed, loss-proof protocol: stages run headline-first and the
+    # CUMULATIVE merged result is re-printed as one JSON line after every
+    # stage — if the driver's window expires mid-stage, the last printed
+    # line still carries every finished metric.  A stage that raises is
+    # recorded in "errors" and the rest keep running.
     result = {
         "metric": "FV cell-updates/s/chip @1024^2 (f32); gp_refit_ms @N=2048",
-        "value": float(throughput),
+        "value": 0.0,
         "unit": "cell-updates/s",
-        "vs_baseline": float(throughput / fv_target),
-        "fv_2048_cu_s": float(fv_2048),
-        "ehl_1024_cu_s": float(ehl_1024),
-        "ehl_1024_ghost_cu_s": float(ehl_1024_ghost),
-        "ehl_4096_cu_s": float(ehl_4096),
-        "gp_closed_1024_cap64_cu_s": float(gp_closed_64),
-        "gp_closed_1024_cap1024_cu_s": float(gp_closed_1024),
-        "sharded_local_kernel_cu_s_per_chip": float(shard_local),
-        "ici": ici,
-        "gp_refit_ms": float(gp_refit_s * 1e3),
-        "gp_al_update_ms": float(gp_update_s * 1e3),
-        "gp_vs_target": float(gp_target / gp_refit_s),
-        "correctness": correctness,
+        "vs_baseline": 0.0,
     }
-    print(json.dumps(result))
-    if not correctness["ok"]:
-        print("BENCH CORRECTNESS FAILURE", file=sys.stderr)
+    errors = {}
+
+    def stage(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — isolate stage failures
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            result["errors"] = errors
+        print(f"# stage {name} done in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        print(json.dumps(result), flush=True)
+
+    def _fv1024():
+        v = float(bench_fv_step())
+        result["value"] = v
+        result["vs_baseline"] = v / fv_target
+
+    def _gp64():
+        result["gp_closed_1024_cap64_cu_s"] = float(bench_gp_closed(cap=64))
+
+    def _gp1024():
+        result["gp_closed_1024_cap1024_cu_s"] = float(
+            bench_gp_closed(cap=1024, n_steps=24))
+
+    def _ehl4096():
+        result["ehl_4096_cu_s"] = float(bench_ehl_step(nx=4096, ny=4096))
+
+    def _shard():
+        result["sharded_local_kernel_cu_s_per_chip"] = float(
+            bench_sharded_local())
+
+    def _gp_ehl():
+        result["gp_ehl_1024_cu_s"] = float(bench_gp_ehl())
+
+    def _ehl1024():
+        result["ehl_1024_cu_s"] = float(bench_ehl_step())
+
+    def _ehl1024g():
+        result["ehl_1024_ghost_cu_s"] = float(bench_ehl_step(
+            fft_grid="ghost"))
+
+    def _fv2048():
+        result["fv_2048_cu_s"] = float(bench_fv_step(nx=2048, ny=2048,
+                                                     n_steps=2048))
+
+    def _refit():
+        refit_s, update_s = bench_gp_refit()
+        result["gp_refit_ms"] = float(refit_s * 1e3)
+        result["gp_al_update_ms"] = float(update_s * 1e3)
+        result["gp_vs_target"] = float(gp_target / refit_s)
+
+    def _al_e2e():
+        cu_s, n_acq = bench_gp_al_e2e()
+        result["gp_al_e2e_1024_cu_s"] = float(cu_s)
+        result["gp_al_e2e_n_acq"] = n_acq
+
+    def _ici():
+        from gapflow_tpu.parallel.pallas_halo import ici_bytes_per_step
+        result["ici"] = {
+            f"{m}_2048_2x4_bytes_per_step_per_chip":
+            float(ici_bytes_per_step(2048, 2048, 2, 4, m))
+            for m in ("det", "gp", "ehl")}
+
+    def _correct():
+        # correctness on the SAME backend as the throughput numbers: f32
+        # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
+        # equality (on TPU this is the only Mosaic-compiled check; the CPU
+        # suite runs the kernels in interpret mode only)
+        from gapflow_tpu.validate import correctness_block
+        result["correctness"] = correctness_block()
+
+    stage("fv_1024", _fv1024)
+    stage("gp_closed_cap64", _gp64)
+    stage("gp_closed_cap1024", _gp1024)
+    stage("ehl_4096", _ehl4096)
+    stage("sharded_local", _shard)
+    stage("gp_ehl_1024", _gp_ehl)
+    stage("ehl_1024", _ehl1024)
+    stage("ehl_1024_ghost", _ehl1024g)
+    stage("fv_2048", _fv2048)
+    stage("gp_refit", _refit)
+    stage("gp_al_e2e", _al_e2e)
+    stage("ici", _ici)
+    stage("correctness", _correct)
+
+    ok = result.get("correctness", {}).get("ok", False)
+    if not ok or errors:
+        print("BENCH INCOMPLETE OR CORRECTNESS FAILURE:"
+              f" errors={errors} correctness_ok={ok}", file=sys.stderr)
         sys.exit(1)
 
 

@@ -31,6 +31,96 @@ def _topo_from_deformation(h_undeformed, u, dx, dy):
     return jnp.stack([h, dh_dx, dh_dy, u])
 
 
+def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
+                     deform_every=1, dtype=None, end_pressure=False):
+    """Fused FROZEN-GP x elastic loop: ``loop(q, u_prev, topo0, dt,
+    step0, n_steps, gp_state) -> (q, u)``.
+
+    Composes the GP-closed MacCormack step (core.gp_step — auto-routing
+    to the per-step Pallas GP kernel on covered TPU configurations) with
+    the FFT elastic half-space inside one jitted program, with the HOST
+    protocol's sequencing (reference GaPFlow/problem.py:565-569 +
+    topography.py:424-441, the same composition core/al_chunked.py
+    verifies for the AL path):
+
+    - step 0 uses the host-synced topography verbatim (it carries the
+      geometry's analytic gradients until the first ``topo.update()``);
+      later steps rebuild it from the carried deformation;
+    - after each step the PASS-2 pressure (shifted for half/none
+      periodicity) deforms the surface under-relaxed into the carried
+      (unshifted) ``u_prev`` state.
+
+    ``deform_every=K`` evaluates the FFT every K fluid steps with the
+    compounded relaxation factor 1-(1-alpha)^K (same fixed point as
+    :func:`make_ehl_loop`'s K-chunking); the deforming pressure is then
+    the GP/EOS pressure of the end-of-chunk state.  K=1 is host-exact
+    (tests/test_al_chunked.py asserts trajectory equality).
+
+    ``end_pressure=True`` deforms from the END-of-step GP/EOS pressure
+    instead of the pass-2 one (the convention of :func:`make_ehl_loop`
+    and the sharded loops — fixed-point equivalent); K>1 always uses it.
+    """
+    from .gp_step import make_gp_step_core, make_gp_closures
+
+    if not problem.topo.elastic:
+        raise ValueError("problem has no elastic coupling")
+
+    cfg = problem._solver_cfg
+    ed = problem.topo.ElasticDeformation
+    hs_deform = ed.deformation_full
+    alpha = ed.alpha_underrelax
+    shift_ref = ed.periodicity in ("half", "none")
+
+    dtype = dtype or jnp.asarray(problem.q).dtype
+    h_und = jnp.asarray(problem.topo.h_undeformed, dtype)
+    extra_d = jnp.asarray(problem.fc.get_real_field("extra").p, dtype)
+
+    step_core = make_gp_step_core(cfg, active_dims, num_features, use_gp)
+    closures = make_gp_closures(cfg, active_dims, num_features, use_gp)
+
+    K = int(deform_every)
+    alpha_K = 1. - (1. - alpha) ** K
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def loop(q, u_prev, topo0, dt, step0, n_steps, gp_state):
+        assert n_steps % K == 0, "n_steps must be divisible by deform_every"
+        q = jnp.asarray(q, dtype)
+        u = jnp.asarray(u_prev)
+        topo0_d = jnp.asarray(topo0, dtype)
+        dt = jnp.asarray(dt, dtype)
+
+        def body(i, carry):
+            q, u = carry
+            u_eff = (u - (u[0, 0] if shift_ref else 0.)).astype(dtype)
+            topo_r = _topo_from_deformation(h_und, u_eff, cfg.dx, cfg.dy)
+            topo_d = jnp.where(i == 0, topo0_d, topo_r)
+
+            if K == 1:
+                q, p_last = step_core(q, topo_d, extra_d, dt,
+                                      step0 + i, gp_state)
+                if end_pressure:
+                    p, _, _, _ = closures(q, topo_d, extra_d, gp_state)
+                else:
+                    p = p_last
+            else:
+                def inner(k, qq):
+                    qn, _ = step_core(qq, topo_d, extra_d, dt,
+                                      step0 + i * K + k, gp_state)
+                    return qn
+                q = jax.lax.fori_loop(0, K, inner, q)
+                p, _, _, _ = closures(q, topo_d, extra_d, gp_state)
+
+            if shift_ref:
+                p = p - p[0, 0]
+            u_new = hs_deform(p.astype(u.dtype))
+            u = (1. - alpha_K) * u + alpha_K * u_new
+            return q, u
+
+        return jax.lax.fori_loop(0, n_steps // K, body, (q, u))
+
+    return loop
+
+
 def make_ehl_loop(problem, use_pallas="auto", dtype=None, deform_every=1,
                   statics_in_kernel=True):
     """Build ``loop(q, u_prev, dt, n_steps) -> (q, u)`` for an elastic Problem.

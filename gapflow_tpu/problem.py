@@ -284,6 +284,19 @@ class Problem:
             self._run_chunked(keep_open)
             return
 
+        # Silent fixed-dt MULTISCALE runs (GP surrogates and/or elastic):
+        # whole-run device paths — chunked host-protocol AL, frozen-GP
+        # fused loops, or the pass-2 EHL loop — with convergence checked
+        # at chunk granularity (the same trade the silent det route
+        # makes).  python -m gapflow_tpu on a GP/EHL config gets device
+        # speed without knowing the run_steps_* family.
+        if self.options["silent"] and not self.numerics["adaptive"]:
+            self._tic = datetime.now()
+            self._run_device_multiscale()
+            if not keep_open:
+                self._post_run()
+            return
+
         if not self.options["silent"]:
             print(61 * "-")
             print(f"{'Step':6s} {'Timestep':10s} {'Time':10s} "
@@ -325,6 +338,61 @@ class Problem:
 
         if not keep_open:
             self._post_run()
+
+    def _run_device_multiscale(self):
+        """Silent fixed-dt GP/elastic convergence run on device chunks.
+
+        Routes each chunk onto the strongest applicable device path —
+        active learning on any surrogate -> :meth:`run_steps_gp_chunked`
+        (host acquisition protocol between compiled advances); frozen
+        surrogates -> :meth:`run_steps_gp_fast` (elastic composes);
+        deterministic elastic -> :meth:`_run_steps_ehl_pass2` — all
+        host-trajectory-exact (tests/test_run_autoroute.py).  Residual
+        convergence and NaN/negative-density rollback are evaluated at
+        chunk granularity, mirroring :meth:`run_compiled_fast`.  The
+        taken route is recorded in ``self._device_route``.
+        """
+        if self.has_gp_model:
+            from .core.al_loop import _surrogate_specs
+            use_al = any(s.use_al for s in _surrogate_specs(self).values())
+            self._device_route = "gp_chunked" if use_al else "gp_fast"
+        else:
+            self._device_route = "ehl_pass2"
+
+        chunk = int(max(1, min(self.options["write_freq"], 512)))
+        dmin = min(self.grid["dx"], self.grid["dy"])
+        ekin_old = self.kinetic_energy
+        q_prev = self.q.copy()
+
+        while self.step < self.max_it and not self._stop:
+            n = int(min(chunk, self.max_it - self.step))
+            if self._device_route == "gp_chunked":
+                self.run_steps_gp_chunked(n)
+            elif self._device_route == "gp_fast":
+                self.run_steps_gp_fast(n)
+            else:
+                self._run_steps_ehl_pass2(n)
+
+            if not self.q_is_valid:
+                print("Invalid state (NaN or negative density) detected; "
+                      "stopped at the last valid chunk.")
+                self.q[...] = q_prev
+                self._refresh_det_fields()
+                self._stop = True
+                break
+            q_prev = self.q.copy()
+
+            ekin = self.kinetic_energy
+            cfl = self.dt * (self.v_max + self.pressure.v_sound) / dmin
+            self.residual = (abs(ekin - ekin_old)
+                             / max(ekin_old, 1e-300) / cfl / n)
+            self.residual_buffer.append(self.residual)
+            ekin_old = ekin
+            self.kinetic_energy_old = ekin
+
+            handle_signals(self._receive_signal)
+            if self.converged and len(self.residual_buffer) == 5:
+                break
 
     def _refresh_det_fields(self):
         """Recompute pressure/stress output fields from the current q."""
@@ -773,6 +841,51 @@ class Problem:
         self.step += n
         self.simtime += n * self.dt
 
+    def _run_steps_ehl_pass2(self, n):
+        """Advance an ELASTIC deterministic problem ``n`` fixed-dt steps
+        with the HOST-exact pass-2 deformation protocol as one fused
+        device loop.
+
+        :meth:`run_steps_ehl` deforms from the end-of-step pressure
+        (fixed-point equivalent, faster kernels); this path reproduces
+        the host ``update()`` sequencing exactly (pass-2 pressure, i==0
+        analytic-gradient topography — reference problem.py:565-569 +
+        topography.py:424-441) by driving core.ehl.make_gp_ehl_loop with
+        every surrogate deterministic.  Used by the :meth:`run`
+        auto-route so plain ``run()`` trajectories stay identical to the
+        host loop.
+        """
+        from .core.ehl import make_gp_ehl_loop
+
+        if not self.topo.elastic or self.has_gp_model:
+            raise RuntimeError("_run_steps_ehl_pass2 covers deterministic "
+                               "elastic problems")
+        if self.numerics["adaptive"]:
+            raise RuntimeError("_run_steps_ehl_pass2 uses a fixed dt")
+
+        dtype = jnp.asarray(self.q).dtype
+        n_extra = int(np.asarray(
+            self.fc.get_real_field("extra").p).shape[0])
+        nf = 6 + n_extra
+        gp_state = {"Xscale": jnp.ones((nf,), dtype)}
+        loop = make_gp_ehl_loop(self, (None, None, None), nf,
+                                (False, False, False), dtype=dtype)
+        ed = self.topo.ElasticDeformation
+        q, u = loop(jnp.asarray(self.q, dtype), jnp.asarray(ed.u_prev),
+                    jnp.asarray(self.topo.full, dtype),
+                    jnp.asarray(self.dt, dtype),
+                    jnp.asarray(self.step, jnp.int32), n, gp_state)
+        u = np.asarray(u)
+
+        self.q[...] = np.asarray(q)
+        ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
+        shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
+        self.topo.deformation = u - shift
+        self.topo.h = self.topo.h_undeformed + (u - shift)
+        self._refresh_det_fields()
+        self.step += n
+        self.simtime += n * self.dt
+
     def run_steps_gp_device(self, n, capacity=64, refit_steps=40):
         """EXPERIMENTAL: advance ``n`` fixed-dt GP-surrogate steps fully
         on-device, INCLUDING active learning.
@@ -820,7 +933,8 @@ class Problem:
         sync_host(self, q, gps, pauses, n)
         return int(n_acq)
 
-    def run_steps_gp_chunked(self, n, capacity=None, n_candidates=None):
+    def run_steps_gp_chunked(self, n, capacity=None, n_candidates=None,
+                             sharded_mesh=None):
         """Advance ``n`` fixed-dt GP-surrogate steps with HOST-protocol
         active learning and DEVICE-compiled stepping (core/al_chunked.py).
 
@@ -839,6 +953,10 @@ class Problem:
         topography.py:424-441), verified step-for-step in
         tests/test_al_chunked.py.
 
+        ``sharded_mesh``: decompose the compiled advance over a 2D
+        device mesh (multi-chip chunked AL, parallel.al) — the host
+        acquisition protocol is unchanged.
+
         Returns the number of acquisitions.
         """
         from .core.al_chunked import run_gp_al_chunked
@@ -851,10 +969,11 @@ class Problem:
             raise RuntimeError("run_steps_gp_chunked uses a fixed dt")
 
         return run_gp_al_chunked(self, n, capacity=capacity,
-                                 n_candidates=n_candidates)
+                                 n_candidates=n_candidates,
+                                 sharded_mesh=sharded_mesh)
 
     def run_steps_gp_fast(self, n, capacity=None, chunk=512,
-                          use_vmem_loop=None):
+                          use_vmem_loop=None, deform_every=1):
         """Advance ``n`` fixed-dt GP-closed steps with FROZEN surrogates
         as whole-run compiled loops — the temporal-blocked production
         path for the flagship multiscale mode.
@@ -872,9 +991,16 @@ class Problem:
         ping-pongs in VMEM and HBM is touched twice per chunk.  Other
         configurations scan the fused XLA GP step on-device.  Syncs q and
         the pressure field afterwards.
+
+        ELASTIC problems compose (multiscale EHL, reference
+        problem.py:565-569 + topography.py:424-441): the run takes the
+        fused GP x elastic loop (core.ehl.make_gp_ehl_loop) — per step
+        the topography is rebuilt from the carried deformation and the
+        pass-2 pressure deforms the surface under-relaxed, exactly the
+        host ``topo.update()`` sequencing (``deform_every=1``); larger
+        ``deform_every`` chunks the FFT updates with the compounded
+        relaxation factor (same fixed point, ~K x fewer FFTs).
         """
-        from .core.al_chunked import _next_capacity
-        from .core.al_loop import _surrogate_specs, init_gp_states
         from .core.gp_step import make_gp_step_core
         import jax as _jax
 
@@ -884,39 +1010,8 @@ class Problem:
             self._pre_run()
         if self.numerics["adaptive"]:
             raise RuntimeError("run_steps_gp_fast uses a fixed dt")
-        if self.topo.elastic:
-            raise RuntimeError("run_steps_gp_fast keeps the topography "
-                               "frozen; elastic GP problems take "
-                               "run_steps_gp_chunked")
-        specs = _surrogate_specs(self)
-        if any(s.use_al for s in specs.values()):
-            raise RuntimeError(
-                "active learning is on; run_steps_gp_chunked runs the "
-                "host acquisition protocol with compiled stepping")
-
-        db = self.database
-        cap = capacity or _next_capacity(db.size)
-        gps, _ = init_gp_states(self, cap)
-        dtype = jnp.float32 if not _jax.config.jax_enable_x64 \
-            else jnp.asarray(self.q).dtype
-        gp_state = {"Xscale": jnp.asarray(db.X_scale, dtype)}
-        models = {"z": self.pressure, "x": self.wall_stress_xz,
-                  "y": self.wall_stress_yz}
-        for k, g in gps.items():
-            gp_state[f"params_{k}"] = {kk: v.astype(dtype)
-                                       for kk, v in g.params.items()}
-            gp_state[f"Xfit_{k}"] = g.X.astype(dtype)
-            gp_state[f"alpha_{k}"] = g.alpha.astype(dtype)
-            gp_state[f"Yscale_{k}"] = jnp.asarray(models[k].Yscale, dtype)
-
-        dims3 = tuple(tuple(m.active_dims) if m.is_gp_model else None
-                      for m in (self.pressure, self.wall_stress_xz,
-                                self.wall_stress_yz))
-        use3 = tuple(m.is_gp_model for m in (self.pressure,
-                                             self.wall_stress_xz,
-                                             self.wall_stress_yz))
-        caps3 = tuple(cap if u else 0 for u in use3)
-        nf = db.num_features
+        gp_state, dims3, use3, caps3, nf, dtype, models = \
+            self._frozen_gp_state(capacity)
         cfg = self._solver_cfg
         nx, ny = self.grid["Nx"], self.grid["Ny"]
 
@@ -924,6 +1019,23 @@ class Problem:
         topo = jnp.asarray(self.topo.full, dtype)
         extra = jnp.asarray(self.fc.get_real_field("extra").p, dtype)
         dt = jnp.asarray(self.dt, dtype)
+
+        if self.topo.elastic:
+            from .core.ehl import make_gp_ehl_loop
+            ed = self.topo.ElasticDeformation
+            loop = make_gp_ehl_loop(self, dims3, nf, use3,
+                                    deform_every=deform_every, dtype=dtype)
+            q, u = loop(q, jnp.asarray(ed.u_prev), topo, dt,
+                        jnp.asarray(self.step, jnp.int32), n, gp_state)
+            u = np.asarray(u)
+            ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
+            shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
+            self.topo.deformation = u - shift
+            # h setter refreshes the gradients (host update() sequencing);
+            # q syncs below, before the constitutive-field refresh
+            self.topo.h = self.topo.h_undeformed + (u - shift)
+            self._sync_gp_fast_tail(q, n, models)
+            return
 
         kernel_ok = False
         if dtype == jnp.float32 and _jax.default_backend() != "cpu":
@@ -995,10 +1107,59 @@ class Problem:
 
             q = scan_steps(q, dt, jnp.asarray(n, jnp.int32), gp_state)
 
+        self._sync_gp_fast_tail(q, n, models)
+
+    def _frozen_gp_state(self, capacity=None, dtype=None):
+        """Padded frozen-surrogate device buffers (core.gp_step layout)
+        plus the static dims, for whole-run GP-closed loops.
+
+        Requires active learning off on every surrogate (the reference's
+        predict() with AL off re-predicts from the cached
+        (hyperparameters, alpha) every step and never retrains,
+        GaPFlow/models/gp.py:435-465).  Returns
+        ``(gp_state, dims3, use3, caps3, num_features, dtype, models)``.
+        """
+        from .core.al_chunked import _next_capacity
+        from .core.al_loop import _surrogate_specs, init_gp_states
+        import jax as _jax
+
+        specs = _surrogate_specs(self)
+        if any(s.use_al for s in specs.values()):
+            raise RuntimeError(
+                "active learning is on; run_steps_gp_chunked runs the "
+                "host acquisition protocol with compiled stepping")
+
+        db = self.database
+        cap = capacity or _next_capacity(db.size)
+        gps, _ = init_gp_states(self, cap)
+        if dtype is None:
+            dtype = jnp.float32 if not _jax.config.jax_enable_x64 \
+                else jnp.asarray(self.q).dtype
+        gp_state = {"Xscale": jnp.asarray(db.X_scale, dtype)}
+        models = {"z": self.pressure, "x": self.wall_stress_xz,
+                  "y": self.wall_stress_yz}
+        for k, g in gps.items():
+            gp_state[f"params_{k}"] = {kk: v.astype(dtype)
+                                       for kk, v in g.params.items()}
+            gp_state[f"Xfit_{k}"] = g.X.astype(dtype)
+            gp_state[f"alpha_{k}"] = g.alpha.astype(dtype)
+            gp_state[f"Yscale_{k}"] = jnp.asarray(models[k].Yscale, dtype)
+
+        dims3 = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                      for m in (self.pressure, self.wall_stress_xz,
+                                self.wall_stress_yz))
+        use3 = tuple(m.is_gp_model for m in (self.pressure,
+                                             self.wall_stress_xz,
+                                             self.wall_stress_yz))
+        caps3 = tuple(cap if u else 0 for u in use3)
+        return gp_state, dims3, use3, caps3, db.num_features, dtype, models
+
+    def _sync_gp_fast_tail(self, q, n, models):
+        """Host sync after a whole-run GP-closed loop: write q back and
+        refresh the constitutive fields through the host predict path
+        (cached dense conditioning) — bitwise the host trajectory's
+        final write, unlike re-deriving p from the padded device alpha."""
         self.q[...] = np.asarray(q)
-        # refresh the constitutive fields through the host predict path
-        # (cached dense conditioning) — bitwise the host trajectory's
-        # final write, unlike re-deriving p from the padded device alpha
         self.pressure.update(predictor=False, compute_var=False)
         self.wall_stress_xz.update(predictor=False, compute_var=False)
         self.wall_stress_yz.update(predictor=False, compute_var=False)
@@ -1103,34 +1264,49 @@ class Problem:
         self.q[...] = np.asarray(q)
         self._refresh_det_fields()
 
-    def run_steps_sharded(self, n, mesh=None, use_pallas=None):
+    def run_steps_sharded(self, n, mesh=None, use_pallas=None,
+                          deform_every=1, capacity=None):
         """Advance ``n`` fixed-dt steps sharded over a 2D device mesh.
 
-        The state is decomposed spatially over the mesh with ppermute halo
-        exchange (ICI on TPU pods); requires the interior grid to divide
-        the mesh shape.  Syncs q back to the host afterwards.
+        The single multi-chip driver entry (mirroring the reference's
+        one ``Problem.run()``, GaPFlow/problem.py:368-410): the state is
+        decomposed spatially over the mesh with ppermute halo exchange
+        (ICI on TPU pods) and the problem family auto-routes —
 
-        On covered f32 configurations the per-shard stepping runs the
-        FUSED Pallas kernels (parallel.pallas_halo): temporal-blocked
-        wrap kernel on fully periodic problems, the shard bc kernel on
-        per-edge-uniform D/N edges.  ``use_pallas=None`` auto-routes;
-        False forces the XLA local step.
+        - deterministic: the fused-kernel / XLA halo trajectory;
+        - frozen-GP surrogates: training set replicated, test points
+          sharded (parallel.gp; fused GP shard kernel on covered f32
+          configurations).  Surrogates with active learning take
+          :meth:`run_steps_gp_chunked` (``sharded_mesh=mesh``) instead;
+        - elastic (EHL): sharded fluid + replicated FFT deformation
+          every ``deform_every`` steps (parallel.ehl);
+        - GP x elastic: both composed (make_sharded_gp_ehl_loop).
+
+        Requires the interior grid to divide the mesh shape.  Syncs q
+        (and the deformation/constitutive state) back to the host
+        afterwards.  On covered f32 configurations the per-shard
+        stepping runs the FUSED Pallas kernels (parallel.pallas_halo).
+        ``use_pallas=None`` auto-routes; False forces the XLA local
+        step.  ``capacity`` pads the GP training buffers.
         """
         import jax as _jax
         from .parallel import grid_mesh, make_sharded_trajectory
         from .parallel.halo import shard_problem_arrays
 
-        if self.has_gp_model:
-            raise RuntimeError("sharded stepping requires a deterministic "
-                               "problem")
-        if self.topo.elastic:
-            raise RuntimeError("sharded stepping does not cover elastic "
-                               "problems (per-step global FFT deformation "
-                               "is not spatially decomposed)")
         if self.step is None:
             self._pre_run()
+        if self.numerics["adaptive"] and (self.has_gp_model
+                                          or self.topo.elastic):
+            raise RuntimeError("sharded GP/EHL stepping uses a fixed dt")
         if mesh is None:
             mesh = grid_mesh()
+
+        if self.has_gp_model:
+            return self._run_steps_sharded_gp(n, mesh, use_pallas,
+                                              deform_every, capacity)
+        if self.topo.elastic:
+            return self._run_steps_sharded_ehl(n, mesh, use_pallas,
+                                               deform_every)
 
         cfg = self._solver_cfg
         nx, ny = self.grid["Nx"], self.grid["Ny"]
@@ -1175,6 +1351,123 @@ class Problem:
 
         self.q[:, 1:-1, 1:-1] = np.asarray(q)
         self._communicate_ghost_buffers()
+        self.step += n
+        self.simtime += n * self.dt
+        return q
+
+    def _run_steps_sharded_gp(self, n, mesh, use_pallas, deform_every,
+                              capacity):
+        """Frozen-GP (and GP x elastic) family of :meth:`run_steps_sharded`:
+        training set replicated, test points sharded."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .core.al_loop import _surrogate_specs
+        from .parallel.gp import make_sharded_gp_trajectory
+        from .parallel.halo import shard_problem_arrays
+
+        if any(s.use_al for s in _surrogate_specs(self).values()):
+            # active learning: the host acquisition protocol with the
+            # SHARDED compiled advance (multi-chip chunked AL)
+            if self.topo.elastic:
+                raise RuntimeError(
+                    "sharded chunked AL does not yet compose with "
+                    "elastic problems; freeze the surrogates "
+                    "(active_learning: False) or run the serial "
+                    "chunked path")
+            return self.run_steps_gp_chunked(n, capacity=capacity,
+                                             sharded_mesh=mesh)
+
+        gp_state, dims3, use3, caps3, nf, dtype, models = \
+            self._frozen_gp_state(capacity)
+        cfg = self._solver_cfg
+        nx, ny = self.grid["Nx"], self.grid["Ny"]
+        px, py = mesh.shape["x"], mesh.shape["y"]
+        if nx % px or ny % py:
+            raise RuntimeError("interior grid must divide the mesh shape")
+
+        if self.topo.elastic:
+            from .parallel.ehl import make_sharded_gp_ehl_loop
+            loop = make_sharded_gp_ehl_loop(
+                self, mesh, dims3, nf, use3, caps3,
+                deform_every=deform_every, use_pallas=use_pallas)
+            ed = self.topo.ElasticDeformation
+            q, _, _ = shard_problem_arrays(self, mesh)
+            q, u = loop(q.astype(dtype), jnp.asarray(ed.u_prev),
+                        jnp.asarray(self.topo.full, dtype),
+                        jnp.asarray(self.dt, dtype), n, gp_state)
+            u = np.asarray(u)
+            ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
+            shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
+            self.topo.deformation = u - shift
+            self.topo.h = self.topo.h_undeformed + (u - shift)
+        else:
+            if use_pallas is None:
+                from .ops.stencil_gp import gp_kernel_supported
+                use_pallas = (not _jax.config.jax_enable_x64
+                              and _jax.default_backend() != "cpu"
+                              and cfg.MC_order != 0
+                              and (nx // px) % 8 == 0
+                              and (ny // py) % 8 == 0
+                              and gp_kernel_supported(cfg, ny // py,
+                                                      dims3, use3))
+            q, topo_b, extra_b = shard_problem_arrays(self, mesh)
+            if use_pallas:
+                from .parallel.pallas_halo import (
+                    make_sharded_gp_pallas_loop, pad_blocks2)
+                loop = make_sharded_gp_pallas_loop(cfg, mesh, nx, ny,
+                                                   dims3, nf, use3, caps3)
+                spec = NamedSharding(mesh, P(None, "x", "y"))
+                t2 = _jax.device_put(pad_blocks2(
+                    np.asarray(self.topo.full, np.float32), px, py), spec)
+                e2 = _jax.device_put(pad_blocks2(
+                    np.asarray(self.fc.get_real_field("extra").p,
+                               np.float32), px, py), spec)
+                q = loop(q.astype(jnp.float32), t2, e2,
+                         jnp.float32(self.dt), n, gp_state)
+            else:
+                traj = make_sharded_gp_trajectory(cfg, dims3, nf, use3,
+                                                  mesh, n)
+                q = traj(q.astype(dtype), topo_b.astype(dtype),
+                         extra_b.astype(dtype),
+                         jnp.asarray(self.dt, dtype), gp_state)
+
+        self.q[:, 1:-1, 1:-1] = np.asarray(q)
+        self._communicate_ghost_buffers()
+        # refresh the constitutive fields through the host predict path
+        # (cached dense conditioning), as the serial fast paths do
+        self.pressure.update(predictor=False, compute_var=False)
+        self.wall_stress_xz.update(predictor=False, compute_var=False)
+        self.wall_stress_yz.update(predictor=False, compute_var=False)
+        self.bulk_stress.update()
+        for m in models.values():
+            if m.is_gp_model:
+                m._step += n
+        self.step += n
+        self.simtime += n * self.dt
+        return q
+
+    def _run_steps_sharded_ehl(self, n, mesh, use_pallas, deform_every):
+        """Deterministic-EHL family of :meth:`run_steps_sharded`:
+        sharded fluid + replicated FFT deformation (parallel.ehl)."""
+        from .models.eos import eos_pressure as _eos
+        from .parallel.ehl import make_sharded_ehl_loop
+        from .parallel.halo import shard_problem_arrays
+
+        loop = make_sharded_ehl_loop(self, mesh, deform_every=deform_every,
+                                     use_pallas=use_pallas)
+        ed = self.topo.ElasticDeformation
+        q, _, _ = shard_problem_arrays(self, mesh)
+        q, u = loop(q, jnp.asarray(ed.u_prev), jnp.asarray(self.dt), n)
+        u = np.asarray(u)
+
+        ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
+        shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
+        self.topo.deformation = u - shift
+        self.topo.h = self.topo.h_undeformed + (u - shift)
+        self.q[:, 1:-1, 1:-1] = np.asarray(q)
+        self._communicate_ghost_buffers()
+        self.fc.get_real_field("pressure").p[...] = np.asarray(
+            _eos(jnp.asarray(self.q[0]), self._solver_cfg.prop))
         self.step += n
         self.simtime += n * self.dt
         return q

@@ -285,3 +285,60 @@ db:
 
     assert p_fast.step == p_host.step == n
     np.testing.assert_allclose(p_fast.q, p_host.q, rtol=2e-5, atol=1e-7)
+
+
+def test_gp_fast_elastic_matches_host(tmp_path):
+    """run_steps_gp_fast on an ELASTIC problem (fused GP x elastic loop,
+    core.ehl.make_gp_ehl_loop, deform_every=1) equals the host update()
+    trajectory — deformation state and topography included."""
+    n = 6
+
+    p_host = Problem.from_string(_sim_elastic(tmp_path, "gehost", 1.e-3,
+                                              "False"))
+    p_host._pre_run()
+    p_fast = Problem.from_string(_sim_elastic(tmp_path, "gefast", 1.e-3,
+                                              "False"))
+    p_fast._pre_run()
+    assert p_fast.topo.elastic
+
+    for _ in range(n):
+        p_host.update()
+    p_fast.run_steps_gp_fast(n)
+
+    assert p_fast.step == p_host.step == n
+    np.testing.assert_allclose(p_fast.q, p_host.q, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(p_fast.topo.ElasticDeformation.u_prev),
+        np.asarray(p_host.topo.ElasticDeformation.u_prev),
+        rtol=1e-6, atol=5e-9)
+    np.testing.assert_allclose(np.asarray(p_fast.topo.full),
+                               np.asarray(p_host.topo.full),
+                               rtol=1e-6, atol=5e-9)
+
+
+def test_gp_fast_elastic_deform_every(tmp_path):
+    """deform_every=K chunks the elastic FFT with the compounded
+    relaxation factor 1-(1-alpha)^K: same fixed point; during the
+    transient the chunked deformation lags the host's by up to one
+    chunk's increment (a few percent of u here, where u still grows by
+    ~15% per step)."""
+    n = 6
+
+    p_host = Problem.from_string(_sim_elastic(tmp_path, "kehost", 1.e-3,
+                                              "False"))
+    p_host._pre_run()
+    p_fast = Problem.from_string(_sim_elastic(tmp_path, "kefast", 1.e-3,
+                                              "False"))
+    p_fast._pre_run()
+
+    for _ in range(n):
+        p_host.update()
+    p_fast.run_steps_gp_fast(n, deform_every=2)
+
+    assert p_fast.step == p_host.step == n
+    assert np.all(np.isfinite(p_fast.q))
+    np.testing.assert_allclose(p_fast.q, p_host.q, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(p_fast.topo.ElasticDeformation.u_prev),
+        np.asarray(p_host.topo.ElasticDeformation.u_prev),
+        rtol=5e-2, atol=1e-9)
