@@ -184,12 +184,18 @@ def _next_capacity(n):
     return cap
 
 
-def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
+def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None,
+                      sharded_mesh=None):
     """Advance ``n_steps`` GP-surrogate timesteps with host-protocol AL.
 
     Returns the number of acquisitions.  See the module docstring for
     the device/host split; all database, training and pause bookkeeping
     follows models/gp.py ``predict`` exactly.
+
+    ``sharded_mesh``: decompose the compiled advance spatially over a
+    2D device mesh (parallel.al.make_sharded_advance) — fluid steps with
+    ppermute halo exchange, variance trigger as a pmax reduction; the
+    host acquisition protocol is identical (multi-chip chunked AL).
     """
     cfg = problem._solver_cfg
     db = problem.database
@@ -219,6 +225,10 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
                            for m in models.values())
 
     elastic = problem.topo.elastic
+    if sharded_mesh is not None and elastic:
+        raise NotImplementedError(
+            "sharded chunked AL does not yet compose with elastic "
+            "problems; run GP x elastic AL on the serial chunked path")
     if elastic:
         ed = problem.topo.ElasticDeformation
         shift_ref = ed.periodicity in ("half", "none")
@@ -236,14 +246,26 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
         else:
             advance = cache[1]
         u = jnp.asarray(ed.u_prev)
+    elif sharded_mesh is not None:
+        from ..parallel.al import make_sharded_advance
+        advance = make_sharded_advance(cfg, tuple(specs.items()), dims3,
+                                       nfeat, use3, sharded_mesh)
+        u = jnp.zeros((1, 1), dtype)
     else:
         advance = make_advance_fn(cfg, tuple(specs.items()), dims3, nfeat,
                                   use3, ncells, int(n_candidates))
         u = jnp.zeros((1, 1), dtype)
 
-    q = jnp.asarray(problem.q, dtype)
-    topo = jnp.asarray(problem.topo.full, dtype)
-    extra = jnp.asarray(problem.fc.get_real_field("extra").p, dtype)
+    if sharded_mesh is not None:
+        from ..parallel.halo import shard_problem_arrays
+        q, topo_b, extra_b = shard_problem_arrays(problem, sharded_mesh)
+        q = q.astype(dtype)
+        topo_b = topo_b.astype(dtype)
+        extra_b = extra_b.astype(dtype)
+    else:
+        q = jnp.asarray(problem.q, dtype)
+        topo = jnp.asarray(problem.topo.full, dtype)
+        extra = jnp.asarray(problem.fc.get_real_field("extra").p, dtype)
     dt = jnp.asarray(problem.dt, dtype)
 
     def _sync_state(total_steps):
@@ -253,7 +275,11 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
         ever ``topo.update()`` the host field still carries the
         geometry's ANALYTIC gradients, which the ``h`` setter would
         clobber with numerical ones."""
-        problem.q[...] = np.asarray(q)
+        if sharded_mesh is not None:
+            problem.q[:, 1:-1, 1:-1] = np.asarray(q)
+            problem._communicate_ghost_buffers()
+        else:
+            problem.q[...] = np.asarray(q)
         if elastic and total_steps > 0:
             u_np = np.asarray(u)
             ed.u_prev = jnp.asarray(u_np)
@@ -277,13 +303,22 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None):
             # (refreshed by _sync_state after the last exit)
             topo = jnp.asarray(problem.topo.full, dtype)
 
-        q, u, steps, needs, pauses = advance(
-            q, topo, extra, u, gps, pauses,
-            jnp.asarray(db.X_scale, dtype), Yscales,
-            jnp.asarray(problem.step + steps_done, jnp.int32), dt,
-            jnp.asarray(n_steps - steps_done, jnp.int32),
-            jnp.asarray(skip_first),
-            {k: jnp.asarray(v) for k, v in suppressed.items()})
+        if sharded_mesh is not None:
+            q, steps, needs, pauses = advance(
+                q, topo_b, extra_b, gps, pauses,
+                jnp.asarray(db.X_scale, dtype), Yscales,
+                jnp.asarray(problem.step + steps_done, jnp.int32), dt,
+                jnp.asarray(n_steps - steps_done, jnp.int32),
+                jnp.asarray(skip_first),
+                {k: jnp.asarray(v) for k, v in suppressed.items()})
+        else:
+            q, u, steps, needs, pauses = advance(
+                q, topo, extra, u, gps, pauses,
+                jnp.asarray(db.X_scale, dtype), Yscales,
+                jnp.asarray(problem.step + steps_done, jnp.int32), dt,
+                jnp.asarray(n_steps - steps_done, jnp.int32),
+                jnp.asarray(skip_first),
+                {k: jnp.asarray(v) for k, v in suppressed.items()})
 
         steps = int(steps)
         needs = np.asarray(needs)
