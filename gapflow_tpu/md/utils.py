@@ -53,32 +53,44 @@ def read_output_files(fname="stress_wall.dat", sf=1.):
 
 
 def autocorr_func_1d(x):
-    """Normalized autocorrelation function via FFT."""
-    x = np.array(x, dtype=float)
-    n = len(x)
-    x -= x.mean()
+    """Normalized autocorrelation of a 1D series.
 
-    fsize = 2 ** int(np.ceil(np.log2(2 * n - 1)))
-    x_f = np.fft.fft(x, fsize)
-    C = np.fft.ifft(x_f * x_f.conjugate())[:n] / (n - np.arange(n))
-    return C.real / C.real[0]
+    One Wiener-Khinchin FFT round trip on the mean-centered series
+    (zero-padded to the next power of two above 2n-1 so the circular
+    product is a linear correlation), debiased by the per-lag sample
+    count and normalized to acf[0] = 1.
+    """
+    series = np.asarray(x, dtype=float)
+    n = series.size
+    centered = series - series.mean()
+
+    nfft = 2 ** int(np.ceil(np.log2(2 * n - 1)))
+    spec = np.fft.fft(centered, nfft)
+    raw = np.fft.ifft(spec * np.conj(spec)).real[:n]
+    acf = raw / (n - np.arange(n))
+    return acf / acf[0]
 
 
 def statistical_inefficiency(timeseries, mintime):
-    """g-factor: effective decorrelation length of the series.
+    """Decorrelation factor g >= 1 of a correlated time series.
 
-    Chodera et al., J. Chem. Theory Comput. 3 (2007).
+    The integrated-autocorrelation estimator g = 1 + 2 sum_t (1 - t/n)
+    acf(t) of Chodera et al., J. Chem. Theory Comput. 3 (2007), with
+    the sum truncated at the first non-positive acf lag past
+    ``mintime`` (past that point the acf estimate is noise).  The mean
+    of the series then carries the information of n/g independent
+    samples.
     """
-    N = len(timeseries)
-    C_t = autocorr_func_1d(timeseries)
-    t_grid = np.arange(N).astype(float)
-    g_t = 2.0 * C_t * (1.0 - t_grid / float(N))
-    ind = np.where((C_t <= 0) & (t_grid > mintime))[0][0]
-    g = 1.0 + g_t[1:ind].sum()
-    return max(1.0, g)
+    n = len(timeseries)
+    acf = autocorr_func_1d(timeseries)
+    lags = np.arange(n)
+    cutoff = np.nonzero((acf <= 0) & (lags > mintime))[0][0]
+    tapered = 2.0 * acf * (1.0 - lags / float(n))
+    return max(1.0, 1.0 + tapered[1:cutoff].sum())
 
 
 def variance_of_mean(timeseries, mintime=1):
-    """Variance of the mean of a correlated time series."""
+    """Variance of the mean of a correlated time series: the naive
+    var/n inflated by the decorrelation factor g."""
     g = statistical_inefficiency(timeseries, mintime)
     return np.var(timeseries) / len(timeseries) * g

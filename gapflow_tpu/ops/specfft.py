@@ -208,6 +208,53 @@ def spectral_multiply_t(p, w_full_t, scale=1.):
     return _fft2_t(V_t).real
 
 
+def _pack_forward_y(p, M):
+    """Forward y transform of PACKED ROW PAIRS -> half spectra (nx, kh).
+
+    Rows pack as ``p[2j] + i p[2j+1]`` (so the pass runs on nx/2 rows)
+    and the Hermitian split recovers the per-row half spectra.  ``M`` is
+    the transform length; columns beyond ny are zero-padded.  Shared by
+    the periodic (:func:`_spectral_multiply_real`, M == ny) and padded
+    (:func:`spectral_multiply_padded`, M == 2 ny) paths — keep the
+    symmetry handling in ONE place.
+    """
+    _, ny = p.shape
+    kh = M // 2 + 1
+    zero = jnp.zeros((), p.dtype)
+    z = lax.complex(p[0::2, :], p[1::2, :])
+    if M > ny:
+        z = jnp.pad(z, ((0, 0), (0, M - ny)))
+    Z = _fft_last(z, M)
+    idx = (-np.arange(kh)) % M
+    Zh = Z[:, :kh]
+    Zr = jnp.conj(Z[:, idx])
+    F_even = 0.5 * (Zh + Zr)
+    F_odd = lax.complex(zero, -0.5 * jnp.ones((), p.dtype)) * (Zh - Zr)
+    return jnp.stack([F_even, F_odd], axis=1).reshape(p.shape[0], kh)
+
+
+def _unpack_inverse_y(Uh, M, ny):
+    """Inverse y of per-row Hermitian half spectra via packed row pairs.
+
+    Repacks output row pairs, extends k from the kh half ring to the
+    full length-M ring, inverse-transforms (conj-forward-conj) and
+    returns the real field with columns beyond ``ny`` dropped.  Inverse
+    counterpart of :func:`_pack_forward_y`, shared by the same two
+    callers.
+    """
+    nx, kh = Uh.shape
+    A, B = Uh[0::2, :], Uh[1::2, :]
+    iB = lax.complex(-B.imag, B.real)
+    head = A + iB                                     # k = 0 .. M/2
+    tailA = jnp.conj(A[:, 1:M - kh + 1][:, ::-1])
+    tailB = jnp.conj(B[:, 1:M - kh + 1][:, ::-1])
+    tail = tailA + lax.complex(-tailB.imag, tailB.real)
+    Zf = jnp.concatenate([head, tail], axis=-1)
+    zo = jnp.conj(_fft_last(jnp.conj(Zf), M))
+    out = jnp.stack([zo.real, zo.imag], axis=1).reshape(nx, M)
+    return out[:, :ny] if M > ny else out
+
+
 def _spectral_multiply_real(p, w_full_t, scale):
     """Half-spectrum convolution of a real 2D field (rfft2 semantics).
 
@@ -225,18 +272,9 @@ def _spectral_multiply_real(p, w_full_t, scale):
     """
     nx, ny = p.shape
     kh = ny // 2 + 1
-    zero = jnp.zeros((), p.dtype)
     inv_n = scale / (nx * ny)
 
-    # forward y on packed row pairs; unpack to the half spectrum
-    z = lax.complex(p[0::2, :], p[1::2, :])
-    Z = _fft_last(z, ny)
-    idx = (-np.arange(kh)) % ny
-    Zh = Z[:, :kh]
-    Zr = jnp.conj(Z[:, idx])
-    F_even = 0.5 * (Zh + Zr)
-    F_odd = lax.complex(zero, -0.5 * jnp.ones((), p.dtype)) * (Zh - Zr)
-    F = jnp.stack([F_even, F_odd], axis=1).reshape(nx, kh)
+    F = _pack_forward_y(p, ny)
 
     # forward x on the kh non-redundant columns (transposed layout)
     G = _fft_last(jnp.swapaxes(F, -1, -2), nx)        # G[k, i] = S[i, k]
@@ -246,16 +284,7 @@ def _spectral_multiply_real(p, w_full_t, scale):
     U = jnp.conj(_fft_last(jnp.conj(V), nx))
     Uh = jnp.swapaxes(U, -1, -2)                      # (nx, kh), Hermitian in k
 
-    # pack output row pairs, extend k to the full ring, inverse y
-    A, B = Uh[0::2, :], Uh[1::2, :]
-    iB = lax.complex(-B.imag, B.real)
-    head = A + iB                                     # k = 0 .. ny/2
-    tailA = jnp.conj(A[:, 1:ny - kh + 1][:, ::-1])
-    tailB = jnp.conj(B[:, 1:ny - kh + 1][:, ::-1])
-    tail = tailA + lax.complex(-tailB.imag, tailB.real)
-    Zf = jnp.concatenate([head, tail], axis=-1)
-    zo = jnp.conj(_fft_last(jnp.conj(Zf), ny))
-    return jnp.stack([zo.real, zo.imag], axis=1).reshape(nx, ny)
+    return _unpack_inverse_y(Uh, ny, ny)
 
 
 def spectral_multiply_padded(p, w_full_t, scale=1.):
@@ -278,26 +307,25 @@ def spectral_multiply_padded(p, w_full_t, scale=1.):
     x-axis passes (which the full-spectrum weight product genuinely
     couples across all 2nx wavenumbers) touch padded-length data.
 
-    Requires even nx, ny; the caller falls back to explicit padding +
-    ``spectral_multiply_t`` otherwise.
+    Requires a 2D ``p`` (the batched variant is ``spectral_multiply_t``
+    over an explicitly padded field) with even nx, ny; the caller falls
+    back to explicit padding + ``spectral_multiply_t`` otherwise.
     """
+    if p.ndim != 2:
+        raise ValueError("spectral_multiply_padded takes a 2D field; "
+                         "batched inputs go through spectral_multiply_t "
+                         "with explicit padding")
     nx, ny = p.shape
-    assert nx % 2 == 0 and ny % 2 == 0, "pruned path needs even sizes"
+    if nx % 2 or ny % 2:
+        raise ValueError("pruned padded convolution needs even sizes; "
+                         "pad explicitly and use spectral_multiply_t")
     Mx, My = 2 * nx, 2 * ny
     kh = My // 2 + 1                       # = ny + 1
-    zero = jnp.zeros((), p.dtype)
     inv_n = scale / (Mx * My)
 
     # forward y on the nonzero packed row pairs (rows nx..2nx-1 of the
     # padded field are zero -> their packed rows never exist)
-    z = lax.complex(p[0::2, :], p[1::2, :])            # (nx/2, ny)
-    Z = _fft_last(jnp.pad(z, ((0, 0), (0, My - ny))), My)
-    idx = (-np.arange(kh)) % My
-    Zh = Z[:, :kh]
-    Zr = jnp.conj(Z[:, idx])
-    F_even = 0.5 * (Zh + Zr)
-    F_odd = lax.complex(zero, -0.5 * jnp.ones((), p.dtype)) * (Zh - Zr)
-    F = jnp.stack([F_even, F_odd], axis=1).reshape(nx, kh)
+    F = _pack_forward_y(p, My)                         # (nx, kh)
 
     # forward x over the kh non-redundant columns: zero-pad the spatial
     # rows nx -> 2nx (transposed layout)
@@ -309,18 +337,8 @@ def spectral_multiply_padded(p, w_full_t, scale=1.):
     U = jnp.conj(_fft_last(jnp.conj(V), Mx))
     Uh = jnp.swapaxes(U[:, :nx], -1, -2)               # (nx, kh)
 
-    # pack the needed output row pairs, extend k to the full ring,
-    # inverse y, drop the padded column half
-    A, B = Uh[0::2, :], Uh[1::2, :]                    # (nx/2, kh)
-    iB = lax.complex(-B.imag, B.real)
-    head = A + iB                                      # k = 0 .. My/2
-    tailA = jnp.conj(A[:, 1:My - kh + 1][:, ::-1])
-    tailB = jnp.conj(B[:, 1:My - kh + 1][:, ::-1])
-    tail = tailA + lax.complex(-tailB.imag, tailB.real)
-    Zf = jnp.concatenate([head, tail], axis=-1)        # (nx/2, My)
-    zo = jnp.conj(_fft_last(jnp.conj(Zf), My))
-    out = jnp.stack([zo.real, zo.imag], axis=1).reshape(nx, My)
-    return out[:, :ny]
+    # inverse y on packed output row pairs; drop the padded column half
+    return _unpack_inverse_y(Uh, My, ny)
 
 
 def spectral_multiply(p, w_full):

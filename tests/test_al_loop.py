@@ -8,6 +8,7 @@ host database (dtool packaging included) — and keeps the state finite.
 """
 
 import numpy as np
+import pytest
 
 from gapflow_tpu import Problem
 
@@ -77,7 +78,8 @@ def test_device_loop_matches_fused_step_without_al(tmp_path):
 
     for _ in range(3):
         p_host.update()          # fused host GP step (no AL pending)
-    n_acq = p_dev.run_steps_gp_device(3, capacity=8)
+    with pytest.warns(UserWarning, match="experimental"):
+        n_acq = p_dev.run_steps_gp_device(3, capacity=8)
 
     assert n_acq == 0
     assert p_dev.step == p_host.step == 3
@@ -89,7 +91,8 @@ def test_device_loop_acquires_through_io_callback(tmp_path):
     p._pre_run()
     size0 = p.database.size
 
-    n_acq = p.run_steps_gp_device(2, capacity=16, refit_steps=10)
+    with pytest.warns(UserWarning, match="experimental"):
+        n_acq = p.run_steps_gp_device(2, capacity=16, refit_steps=10)
 
     # the tight tolerance forces acquisitions, which run the (mock) MD
     # oracle on the host and append to the real database

@@ -185,3 +185,37 @@ def test_mixed_supported_gating():
     uni = Problem.from_string(sim)
     uni._pre_run()
     assert not mixed_supported(uni._solver_cfg, 128, 32)
+
+
+def test_mixed_thinning_takes_xla_fallback():
+    """The one kernel-uncovered configuration — mixed per-component
+    edges + shear thinning — must take the XLA fallback BIT-FAITHFULLY
+    through the production entry (run_steps_fast -> run_steps).  The
+    sealing argument lives in the ops/mixed_bc.py docstring: the
+    thinning viscosity couples every interior cell to the EVOLVED
+    (carried, non-reconstructible) ghost lines through np.gradient's
+    one-sided stencils, which the per-strip kernel cannot see."""
+    yaml = (sim.replace("Nx: 32", CASES["x_mixed"], 1)
+               .replace("dt: 5e-11", "dt: 2e-11")
+               .replace("    C2: 1.23",
+                        "    C2: 1.23\n"
+                        "    thinning: {name: Eyring, tauE: 5.e5}"))
+
+    p_fast = Problem.from_string(yaml)
+    p_fast._pre_run()
+    cfg = p_fast._solver_cfg
+    assert cfg.thinning is not None
+    # the kernel family declines this config ...
+    from gapflow_tpu.ops import pallas_supported
+    assert not mixed_supported(cfg, p_fast.grid["Ny"], p_fast.grid["Nx"])
+    assert not pallas_supported(cfg, p_fast.grid["Ny"])
+
+    # ... so run_steps_fast routes to run_steps: same XLA det program as
+    # the oracle — outputs are bit-identical, not just close
+    p_ref = Problem.from_string(yaml)
+    p_ref._pre_run()
+    state = p_ref._make_state()
+    ref = _reference(p_ref, state)
+
+    p_fast.run_steps_fast(N_STEPS)
+    np.testing.assert_array_equal(np.asarray(p_fast.q, np.float32), ref)
