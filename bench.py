@@ -538,16 +538,17 @@ db:
     return nx * ny * n_steps / wall, int(n_acq)
 
 
-def _probe_device(timeout_s=150):
+def _probe_device(timeout_s=300):
     """Fail fast (and loudly) when the TPU runtime is unreachable.
 
     Backend init through a wedged tunnel hangs indefinitely; probing in
     a subprocess with a timeout turns that into a diagnostic JSON line
     and an immediate nonzero exit instead of a silent driver stall.
-    ONE attempt with a ~150 s budget (healthy init through a congested
-    tunnel measures ~110 s): retries that outlive the driver's bench
-    window lose the whole round — round 3 proved it (rc=124 with zero
-    metrics after a 3x600s retry loop)."""
+    ONE attempt with a ~300 s budget: healthy init measures ~60-110 s
+    but exceeds 150 s when the host is loaded (observed: a parallel CPU
+    pytest run pushed it past 150 s), while retries that outlive the
+    driver's bench window lose the whole round — round 3 proved it
+    (rc=124 with zero metrics after a 3x600s retry loop)."""
     import subprocess
     code = ("import jax, jax.numpy as jnp; "
             "x = jnp.ones((8, 8)); print(float(x.sum()))")

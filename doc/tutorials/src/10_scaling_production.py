@@ -6,9 +6,15 @@
 #
 # | tier | deterministic | GP-closed | EHL |
 # |---|---|---|---|
-# | host loop (reference protocol) | `run()` / `update()` | same | same |
+# | host loop (reference protocol) | `update()` | same | same |
 # | fused on-device | `run_steps` (one XLA program/step) | `run_steps_gp_chunked` | `run_steps_ehl` |
-# | whole-run kernels (TPU, f32) | `run_steps_fast` / `run_compiled_fast` | `run_steps_gp_fast` | `run_steps_ehl` (Pallas route) |
+# | whole-run kernels (TPU, f32) | `run_steps_fast` / `run_compiled_fast` | `run_steps_gp_fast` (elastic composes) | `run_steps_ehl` (Pallas route) |
+#
+# You rarely pick a tier by hand: plain `run()` auto-routes every
+# silent fixed-dt problem family — deterministic, frozen-GP, active
+# learning, elastic, GP × elastic — onto its strongest device path,
+# with trajectories identical to the host loop
+# (`tests/test_run_autoroute.py`).
 #
 # On TPU the whole-run tiers run fused Pallas kernels: the state
 # ping-pongs in VMEM (or between two HBM buffers with 4-step temporal
@@ -142,6 +148,15 @@ assert rel < 1e-6
 # CPU devices.  On TPU, covered f32 configurations route each shard's
 # stepping through the fused Pallas kernels (periodic wrap kernel with
 # 4-step temporal blocking, shard bc kernel for D/N domains).
+#
+# `run_steps_sharded` is the single multi-chip entry for EVERY family:
+# frozen-GP problems keep the training set replicated and shard the
+# test points; EHL runs the sharded fluid with a replicated-FFT
+# deformation; GP × elastic composes both; and active-learning
+# problems shard the compiled advance between unchanged host
+# acquisitions (`parallel/al.py` — the variance trigger is a `pmax`
+# over halo-padded blocks).  Equality with the serial paths is pinned
+# by `tests/test_sharded_driver.py`.
 
 # %%
 from gapflow_tpu.parallel import grid_mesh

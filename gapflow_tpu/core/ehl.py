@@ -32,7 +32,8 @@ def _topo_from_deformation(h_undeformed, u, dx, dy):
 
 
 def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
-                     deform_every=1, dtype=None, end_pressure=False):
+                     deform_every=1, dtype=None, end_pressure=False,
+                     use_vmem_inner=None):
     """Fused FROZEN-GP x elastic loop: ``loop(q, u_prev, topo0, dt,
     step0, n_steps, gp_state) -> (q, u)``.
 
@@ -59,6 +60,13 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
     ``end_pressure=True`` deforms from the END-of-step GP/EOS pressure
     instead of the pass-2 one (the convention of :func:`make_ehl_loop`
     and the sharded loops — fixed-point equivalent); K>1 always uses it.
+
+    For K > 1 on kernel-covered f32 configurations the inner K steps
+    run the whole-run-in-VMEM GP loop kernel
+    (ops.stencil_gp.make_pallas_gp_loop_fn): the state ping-pongs in
+    VMEM between deformation updates and HBM is touched twice per
+    chunk.  ``use_vmem_inner=None`` auto-detects; True forces it (test
+    hook, interpret mode), False keeps the per-step scan.
     """
     from .gp_step import make_gp_step_core, make_gp_closures
 
@@ -80,6 +88,28 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
 
     K = int(deform_every)
     alpha_K = 1. - (1. - alpha) ** K
+    nx, ny = problem.grid["Nx"], problem.grid["Ny"]
+
+    def _inner_kernel_loop(gp_state):
+        """Whole-run VMEM GP kernel for the K inner steps, or None."""
+        if K == 1 or use_vmem_inner is False:
+            return None
+        from ..ops.stencil_gp import (gp_kernel_supported,
+                                      gp_loop_vmem_fits,
+                                      make_pallas_gp_loop_fn)
+        caps = tuple(gp_state[f"Xfit_{k}"].shape[0] if u else 0
+                     for k, u in zip(("z", "x", "y"), use_gp))
+        if use_vmem_inner is None:
+            ok = (dtype == jnp.float32
+                  and jax.default_backend() != "cpu"
+                  and nx % 8 == 0
+                  and gp_kernel_supported(cfg, ny, active_dims, use_gp)
+                  and gp_loop_vmem_fits(cfg, nx, ny, dtype, caps, use_gp))
+            if not ok:
+                return None
+        return make_pallas_gp_loop_fn(cfg, active_dims, num_features,
+                                      use_gp, nx, ny, caps, K,
+                                      dtype=dtype)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, u_prev, topo0, dt, step0, n_steps, gp_state):
@@ -88,6 +118,7 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
         u = jnp.asarray(u_prev)
         topo0_d = jnp.asarray(topo0, dtype)
         dt = jnp.asarray(dt, dtype)
+        inner_loop = _inner_kernel_loop(gp_state)
 
         def body(i, carry):
             q, u = carry
@@ -102,6 +133,9 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
                     p, _, _, _ = closures(q, topo_d, extra_d, gp_state)
                 else:
                     p = p_last
+            elif inner_loop is not None:
+                q = inner_loop(q, topo_d, extra_d, dt, gp_state)
+                p, _, _, _ = closures(q, topo_d, extra_d, gp_state)
             else:
                 def inner(k, qq):
                     qn, _ = step_core(qq, topo_d, extra_d, dt,

@@ -342,3 +342,88 @@ def test_gp_fast_elastic_deform_every(tmp_path):
         np.asarray(p_fast.topo.ElasticDeformation.u_prev),
         np.asarray(p_host.topo.ElasticDeformation.u_prev),
         rtol=5e-2, atol=1e-9)
+
+
+def test_gp_ehl_vmem_inner_matches_xla(tmp_path):
+    """The K>1 GP x elastic chunk can run the whole-run-in-VMEM GP loop
+    kernel between deformation updates (forced, interpret mode; on TPU
+    the gate selects it automatically) and equals the XLA inner scan —
+    f32 comparison since the kernel runs f32."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.core.ehl import make_gp_ehl_loop
+
+    cfgstr = f"""
+options:
+    output: {tmp_path}/gev
+    write_freq: 1000
+    use_tstamp: False
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: 16
+    Ny: 128
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 1e-11
+    max_it: 100
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+    elastic:
+        E: 5e10
+        v: 0.3
+        alpha_underrelax: 1e-05
+gp:
+    press:
+        fix_noise: True
+        atol: 1.
+        rtol: 0.1
+        obs_stddev: 100.
+        max_steps: 2
+        active_learning: False
+db:
+    init_size: 4
+    init_method: sobol
+    init_width: 1.e-4
+    dtool_path: {tmp_path}/train_gev
+"""
+    p = Problem.from_string(cfgstr)
+    p._pre_run()
+    gp_state, dims3, use3, caps3, nf, _, _ = p._frozen_gp_state(
+        dtype=jnp.float32)
+    ed = p.topo.ElasticDeformation
+
+    args = (jnp.asarray(p.q, jnp.float32),
+            jnp.zeros_like(jnp.asarray(ed.u_prev, jnp.float32)),
+            jnp.asarray(p.topo.full, jnp.float32),
+            jnp.asarray(p.dt, jnp.float32),
+            jnp.asarray(0, jnp.int32), 4, gp_state)
+
+    loop_x = make_gp_ehl_loop(p, dims3, nf, use3, deform_every=2,
+                              dtype=jnp.float32, use_vmem_inner=False)
+    q_ref, u_ref = loop_x(*args)
+
+    loop_k = make_gp_ehl_loop(p, dims3, nf, use3, deform_every=2,
+                              dtype=jnp.float32, use_vmem_inner=True)
+    with pltpu.force_tpu_interpret_mode():
+        q_k, u_k = loop_k(*args)
+
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
+                               rtol=2e-5, atol=1e-7)
+    scale = max(np.abs(np.asarray(u_ref)).max(), 1e-30)
+    assert np.abs(np.asarray(u_k) - np.asarray(u_ref)).max() / scale < 1e-4
