@@ -538,6 +538,52 @@ db:
     return nx * ny * n_steps / wall, int(n_acq)
 
 
+def bench_gp_sol(nx=1024, ny=1024):
+    """Transcendental speed-of-light for the GP-closed step.
+
+    The Matern-3/2 mean is irreducibly one (sqrt, exp, fma, fma) VPU
+    block per (cell, train point) pair; a GP-closed MacCormack step
+    evaluates cap x n_surrogates x 2 passes of them per cell.  This
+    measures the chip's throughput of exactly that block (chained so
+    nothing hoists) and converts it into the cell-updates/s bound for
+    the bench's cap-64 and cap-1024 configurations (3 surrogates).
+    Distances (d FMAs/pair on the VPU in the unrolled path) are NOT
+    counted, so the bound is optimistic — see doc/status.md.
+    Returns (block_evals_per_s, sol_cap64_cu_s, sol_cap1024_cu_s).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.linspace(-3., 0., 8 * 1024 * 1024).reshape(8, 1024, 1024)
+
+    @jax.jit
+    def chain(x, k):
+        def body(i, a):
+            r = jnp.sqrt(a * a + 1e-6)
+            return (1. + r) * jnp.exp(-r) * 0.5 + a * 1e-7
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        float(chain(x, k)[0, 0, 0])
+        return time.perf_counter() - t0
+
+    # long chains: the ~25 ms tunneled-dispatch noise must be small
+    # against the measured difference (short chains bounce 2x run-to-run)
+    timed(200)
+    timed(2200)                     # compile both lengths
+    t_long = min(timed(2200) for _ in range(3))
+    t_short = min(timed(200) for _ in range(3))
+    per_pass = (t_long - t_short) / 2000
+    rate = x.size / per_pass
+
+    def sol(cap):
+        evals = nx * ny * cap * 3 * 2
+        return nx * ny / (evals / rate)
+
+    return rate, sol(64), sol(1024)
+
+
 def _probe_device(timeout_s=300):
     """Fail fast (and loudly) when the TPU runtime is unreachable.
 
@@ -651,6 +697,18 @@ def main():
             float(ici_bytes_per_step(2048, 2048, 2, 4, m))
             for m in ("det", "gp", "ehl")}
 
+    def _gp_sol():
+        rate, sol64, sol1024 = bench_gp_sol()
+        result["gp_matern_block_evals_per_s"] = float(rate)
+        result["gp_sol_1024_cap64_cu_s"] = float(sol64)
+        result["gp_sol_1024_cap1024_cu_s"] = float(sol1024)
+        if result.get("gp_closed_1024_cap64_cu_s"):
+            result["gp_closed_cap64_sol_fraction"] = float(
+                result["gp_closed_1024_cap64_cu_s"] / sol64)
+        if result.get("gp_closed_1024_cap1024_cu_s"):
+            result["gp_closed_cap1024_sol_fraction"] = float(
+                result["gp_closed_1024_cap1024_cu_s"] / sol1024)
+
     def _correct():
         # correctness on the SAME backend as the throughput numbers: f32
         # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
@@ -659,6 +717,8 @@ def main():
         from gapflow_tpu.validate import correctness_block
         result["correctness"] = correctness_block()
 
+    # headline-first; correctness BEFORE the slow cold-start AL stage so
+    # a driver-window cut cannot cost the required correctness block
     stage("fv_1024", _fv1024)
     stage("gp_closed_cap64", _gp64)
     stage("gp_closed_cap1024", _gp1024)
@@ -669,9 +729,10 @@ def main():
     stage("ehl_1024_ghost", _ehl1024g)
     stage("fv_2048", _fv2048)
     stage("gp_refit", _refit)
-    stage("gp_al_e2e", _al_e2e)
+    stage("gp_sol", _gp_sol)
     stage("ici", _ici)
     stage("correctness", _correct)
+    stage("gp_al_e2e", _al_e2e)
 
     ok = result.get("correctness", {}).get("ok", False)
     if not ok or errors:

@@ -68,25 +68,29 @@ def _features7(q0, q1, q2, st):
     return (q0, q1, q2, st[2], st[0], st[1], 0.5 * st[3])
 
 
-def _gp_mean(feats, dims, coef, W, w2, alpha, n_out):
+def _gp_mean(feats, dims, coef, Wm2, w2, alpha, n_out):
     """Matern-3/2 GP mean(s) over a strip block.
 
-    feats: the 7 feature arrays; dims: static feature indices;
-    coef: (7,) per-feature scale (inv lengthscale / Xscale, zeros for
-    inactive dims); W: (cap, d) scaled train inputs; w2: (cap,) squared
-    norms; alpha: (cap, n_out) weights with amp and Yscale folded in.
-    Unrolled over the (static) capacity — per point: d FMAs + one
-    sqrt/exp, all VPU."""
+    feats: the 7 feature arrays; dims: static feature indices; coef:
+    (1, d) per-feature scale with the Matern sqrt(3) folded in
+    (sqrt(3) * inv lengthscale / Xscale); Wm2: (cap, d) = -2 * sqrt(3)-
+    scaled train inputs; w2: (cap, 1) their squared norms plus the
+    sqrt-smoothing epsilon; alpha: (cap, n_out) weights with amp and
+    Yscale folded in.  The distance then assembles as
+    ``arg^2 = x.x + x.Wm2[j] + w2[j] = 3 r^2 + 3e-14`` — no separate
+    sqrt(3)/epsilon ops per pair.  Unrolled over the (static) capacity;
+    per point: d FMAs + 2 adds + max + sqrt + exp + 1 FMA, all VPU
+    (transcendental-bound: see doc/status.md speed-of-light analysis).
+    """
     xs = [feats[d] * coef[0, i] for i, d in enumerate(dims)]
     x2 = sum(x * x for x in xs)
-    cap = W.shape[0]
+    cap = Wm2.shape[0]
     acc = [jnp.zeros_like(feats[0]) for _ in range(n_out)]
     for j in range(cap):
-        dot = sum(x * W[j, i] for i, x in enumerate(xs))
-        r2 = x2 - 2. * dot + w2[j, 0]
-        r = jnp.sqrt(jnp.maximum(r2, 0.) + 1e-14)
-        arg = _SQRT3 * r
-        kj = (1. + arg) * jnp.exp(-arg)
+        dot = sum(x * Wm2[j, i] for i, x in enumerate(xs))
+        arg = jnp.sqrt(jnp.maximum(x2 + dot + w2[j, 0], 3e-14))
+        e = jnp.exp(-arg)
+        kj = e + arg * e
         for m in range(n_out):
             acc[m] = acc[m] + kj * alpha[j, m]
     return acc
@@ -290,13 +294,17 @@ def _prep_gp_ops(gp_state, dims, key):
     amp = jnp.exp(params["log_amp"])
     Xscale = gp_state["Xscale"]
 
-    W = Xfit * inv_ls[None, :]
-    w2 = jnp.sum(W * W, axis=1, keepdims=True)            # (cap, 1)
+    # fold the Matern sqrt(3) and the sqrt-smoothing epsilon into the
+    # prepared arrays (see _gp_mean): the in-kernel distance assembles
+    # arg^2 = 3 r^2 + 3e-14 with no per-pair scaling ops
+    Ws = _SQRT3 * Xfit * inv_ls[None, :]
+    Wm2 = -2. * Ws                                        # (cap, d)
+    w2 = jnp.sum(Ws * Ws, axis=1, keepdims=True) + 3e-14  # (cap, 1)
     # test side: feat / Xscale[dim] * inv_ls -> one coefficient per dim
-    coef = (inv_ls / Xscale[jnp.asarray(dims)])[None, :]  # (1, d)
+    coef = (_SQRT3 * inv_ls / Xscale[jnp.asarray(dims)])[None, :]
     a = alpha if alpha.ndim == 2 else alpha[:, None]
     a = a * (amp * gp_state[f"Yscale_{key}"])
-    return coef, W, w2, a
+    return coef, Wm2, w2, a
 
 
 # Output-row layout of the batched (mxu) formulation.
