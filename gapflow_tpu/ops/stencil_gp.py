@@ -55,11 +55,18 @@ def gp_kernel_supported(cfg, ny, active_dims, use_gp):
     return True
 
 
-# Capacity at or below which the unrolled per-point accumulation is used;
-# larger training sets take the capacity-tiled MXU formulation (matmul
-# r^2 + tiled Matern + matmul accumulation), which scales to >=2048.
-UNROLL_CAP = 64
-# Capacity-tile height of the MXU formulation (train points per tile).
+# Capacity at or below which the unrolled per-point accumulation is
+# used; larger training sets take the capacity-tiled MXU formulation
+# (matmul r^2 + tiled Matern + matmul accumulation).  0 since the
+# split-K bf16 arg^2 matmul (_split_k_bf16): with the distance product
+# costing one MXU pass instead of six, the MXU formulation measures
+# faster at EVERY capacity (cap16 8.9e8 vs 7.6e8 cu/s unrolled, cap64
+# 3.2e8 vs 2.4e8, cap1024 2.3e7 vs n/a; 1024^2 grid, r4 chip sweep).
+# The unrolled path stays as the documented reference formulation and
+# remains reachable by raising this.
+UNROLL_CAP = 0
+# Capacity-tile height of the MXU formulation (train points per tile;
+# 512 measured 21% slower at cap 1024).
 MXU_TILE = 256
 
 
@@ -105,11 +112,15 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
     augmented train matrix ``Waug`` whose column for train point (m, j)
     is ``[-6 c_mi W_mji ..., 3 c_mi^2 ..., 3 w2_mj + 3e-14]`` — the
     matmul emits ``3 r^2 + 3e-14 = arg^2`` directly (the Matern sqrt(3)
-    and the sqrt-smoothing epsilon folded in).  A short elementwise block
-    (sqrt, exp, fma) evaluates the Matern-3/2 kernel on the (tile, ny)
-    block in VMEM, and a second matmul against the block-diagonal
-    ``Aaug`` (amp and Yscale folded into alpha) accumulates the output
-    rows [p, xz_lo, xz_up, yz_lo, yz_up] into ``out_ref`` (8, rows, ny).
+    and the sqrt-smoothing epsilon folded in).  Both sides arrive as
+    K-concatenated 3-term bf16 splits (:func:`_split_k_bf16`): one
+    single-pass bf16 matmul with f32 accumulation reproduces the
+    6-pass HIGHEST f32 product at the cost of ONE K-padded MXU pass.
+    A short elementwise block (sqrt, exp, fma) evaluates the Matern-3/2
+    kernel on the (tile, ny) block in VMEM, and a second matmul against
+    the block-diagonal ``Aaug`` (amp and Yscale folded into alpha)
+    accumulates the output rows [p, xz_lo, xz_up, yz_lo, yz_up] into
+    ``out_ref`` (8, rows, ny).
 
     Unlike the unrolled path, compile time and VMEM are independent of
     capacity: the tile loop is rolled, so padded capacities >= 2048 are
@@ -138,16 +149,19 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
             xaug = jnp.concatenate(
                 [blks[i, rr:rr + 1] for i in range(2 * d_n)] + [ones],
                 axis=0)
+            # f32-accurate arg^2 from ONE bf16 pass: split the design
+            # row into 3 bf16 terms and K-concatenate the 6 retained
+            # cross products against the pre-split Waug (a plain bf16
+            # pass here costs ~2^-9 relative on the staged features —
+            # the round-2 precision leak; a HIGHEST f32 matmul is exact
+            # but pays 6 K-padded MXU passes)
+            xsp = _bf16_3split(xaug)
+            x6 = jnp.concatenate([xsp[i] for i in _SPLIT_X], axis=0)
             acc = jnp.zeros((8, ny), jnp.float32)
             for t in range(n_t):
                 Wt = Waug_ref[pl.ds(t * mt, mt), :]
-                # HIGHEST: the default bf16 matmul passes cost ~2^-9
-                # relative on the staged features — the same precision
-                # leak the round-2 XLA contractions had (bench caught
-                # both on hardware; CPU interpret mode cannot see it)
-                arg2 = jnp.dot(Wt, xaug,
-                               preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)
+                arg2 = jnp.dot(Wt, x6,
+                               preferred_element_type=jnp.float32)
                 arg = jnp.sqrt(jnp.maximum(arg2, 3e-14))
                 e = jnp.exp(-arg)
                 km = e + arg * e
@@ -366,7 +380,40 @@ def _prep_gp_ops_mxu(gp_state, active_dims, use_gp, du, Mtot):
     if pad:
         Waug = jnp.pad(Waug, ((0, pad), (0, 0)))
         Aaug = jnp.pad(Aaug, ((0, pad), (0, 0)))
-    return Waug, Aaug.T
+    return _split_k_bf16(Waug), Aaug.T
+
+
+def _bf16_3split(v):
+    """Exact 3-term bf16 decomposition of an f32 array (24-bit mantissa
+    = 3 x 8-bit bf16 mantissas; each residual subtraction is exact)."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+# x-side / W-side pairing of the 6 retained bf16 product terms of
+# (x_hi+x_mid+x_lo)(W_hi+W_mid+W_lo); the dropped mid*lo / lo*lo class
+# is O(2^-24) relative — below the f32 rounding of the result (the same
+# truncation XLA's HIGHEST decomposition makes).
+_SPLIT_X = (0, 0, 1, 0, 2, 1)
+_SPLIT_W = (0, 1, 0, 2, 0, 1)
+
+
+def _split_k_bf16(Waug):
+    """K-concatenated bf16 split of the augmented train matrix.
+
+    (Mtot, k) f32 -> (Mtot, 6k) bf16 whose column blocks pair with the
+    x-side blocks of :func:`_gp_all_mxu` so ONE single-pass bf16 matmul
+    (f32 accumulation) reproduces the f32-accurate arg^2 that a
+    HIGHEST-precision f32 matmul computes in 6 passes.  The MXU pass
+    cost is K-padding-bound at these K (k <= 15, 6k <= 90 < 128), so
+    this is ~6x cheaper at identical accuracy — measured 1.24e7 ->
+    2.2e7 cu/s on the cap-1024 GP-closed step.
+    """
+    parts = _bf16_3split(Waug)
+    return jnp.concatenate([parts[i] for i in _SPLIT_W], axis=1)
 
 
 def make_gp_call(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
@@ -600,13 +647,14 @@ def gp_loop_vmem_fits(cfg, nx, ny, dtype=jnp.float32, caps=None,
                       use_gp=None):
     """Whether the ping-pong state + statics + GP scratch fit VMEM (at
     SOME strip size).  caps/use_gp refine the live-temporary estimate of
-    the unrolled accumulation; without them the worst unrolled capacity
-    (UNROLL_CAP) is assumed."""
+    the unrolled accumulation; without them the (capacity-independent)
+    MXU-formulation estimate is assumed — the production route at every
+    capacity since UNROLL_CAP = 0."""
     if caps is None:
-        cap_max = UNROLL_CAP
+        cap_max = max(UNROLL_CAP, 1)
     else:
         used = [c for c, u in zip(caps, use_gp or (True,) * len(caps)) if u]
-        cap_max = max(used) if used else UNROLL_CAP
+        cap_max = max(used) if used else max(UNROLL_CAP, 1)
     return _gp_loop_bs(nx, ny, dtype, cap_max) is not None
 
 

@@ -89,15 +89,26 @@ def _setup(with_shear, tmp):
     return problem, dims, use
 
 
-@pytest.mark.parametrize("with_shear,cap", [(False, 8), (True, 8),
-                                            (False, 96), (True, 96)])
-def test_gp_pallas_step_matches_xla(with_shear, cap, tmp_path):
-    """cap <= UNROLL_CAP exercises the unrolled per-point accumulation;
-    larger caps the capacity-tiled MXU formulation (batched 3-surrogate
-    augmented matmul)."""
+@pytest.mark.parametrize("with_shear,cap,mode", [
+    (False, 8, "auto"), (True, 8, "auto"),
+    (False, 96, "auto"), (True, 96, "auto"),
+    # the unrolled per-point accumulation is no longer the production
+    # route at any capacity (UNROLL_CAP = 0: the split-K MXU formulation
+    # measures faster everywhere) but stays covered as the reference
+    # formulation
+    (True, 8, "unrolled")])
+def test_gp_pallas_step_matches_xla(with_shear, cap, mode, tmp_path,
+                                    monkeypatch):
+    """The capacity-tiled MXU formulation (batched 3-surrogate augmented
+    split-K matmul) at small and large caps, plus the unrolled
+    per-point accumulation (forced)."""
     from jax.experimental.pallas import tpu as pltpu
+    import gapflow_tpu.ops.stencil_gp as sg
     from gapflow_tpu.ops.stencil_gp import (make_pallas_gp_step_fn,
                                             gp_kernel_supported)
+
+    if mode == "unrolled":
+        monkeypatch.setattr(sg, "UNROLL_CAP", 256)
 
     problem, dims, use = _setup(with_shear, str(tmp_path))
     cfg = problem._solver_cfg
