@@ -13,9 +13,19 @@ separately in float64 on CPU.
 import json
 import os
 import sys
+import tempfile
 import time
 
 os.environ.setdefault("GAPFLOW_X64", "0")
+# Persistent compilation cache, as in production deployments (and the
+# test suite): repeat bench runs skip recompiling the big jitted
+# programs.  Measured loops warm up explicitly either way; the one
+# stage whose wall-clock includes compiles (gp_al_e2e) reports the
+# same warm-cache behavior a user's second run sees.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "gapflow-jax-cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np  # noqa: E402
 
@@ -386,6 +396,100 @@ def bench_gp_refit(n_train=2048, n_dims=3, chain=50):
     return refit_s, update_s
 
 
+def bench_gp_closed_dn(nx=1024, ny=1024, cap=64, n_steps=60):
+    """GP-closed throughput on a D/N-edge domain (the reference's slider
+    configurations), through the production route of run_steps_gp_fast:
+    the q-only bc GP kernel (ops.stencil_gp.make_pallas_gp_step_bc_fn)
+    scanned per step, with the XLA GP step as fallback on uncovered
+    configs.  Reported next to the periodic kernel number so the
+    boundary family's gap is driver-visible.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gapflow_tpu import Problem
+    from gapflow_tpu.core.step import apply_bcs
+    from gapflow_tpu.core.gp_step import make_gp_step_core
+    from gapflow_tpu.ops.stencil_gp import (gp_bc_kernel_supported,
+                                            make_pallas_gp_step_bc_fn)
+    from gapflow_tpu.validate import synthetic_gp_state
+
+    sim = f"""
+options:
+    output: data/bench_gp_dn
+    write_freq: 100000
+    silent: True
+grid:
+    dx: 2.e-5
+    dy: 2.e-5
+    Nx: {nx}
+    Ny: {ny}
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007
+geometry:
+    type: journal
+    CR: 1.e-2
+    eps: 0.7
+    U: 0.1
+    V: 0.05
+numerics:
+    CFL: 0.25
+    adaptive: 0
+    tol: 1e-30
+    dt: 5e-11
+    max_it: 1000000
+properties:
+    shear: 0.0794
+    bulk: 0.
+    EOS: DH
+    P0: 101325.
+    rho0: 877.7007
+    C1: 3.5e10
+    C2: 1.23
+"""
+    problem = Problem.from_string(sim)
+    problem._pre_run()
+    cfg = problem._solver_cfg
+    dims = ((0, 3), (0, 1, 3), (0, 2, 3))
+    use = (True, True, True)
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_gp_state(dims, use, cap, rng)
+
+    q0 = apply_bcs(jnp.asarray(np.asarray(problem.q), jnp.float32), cfg)
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    if (jax.default_backend() != "cpu"
+            and gp_bc_kernel_supported(cfg, ny, dims, use)):
+        kstep = make_pallas_gp_step_bc_fn(cfg, dims, 7, use, nx, ny,
+                                          (cap, cap, cap))
+
+        def body(i, qq):
+            return kstep(qq, topo, extra, dt, gp_state)
+    else:
+        step_core = make_gp_step_core(cfg, dims, 7, use)
+
+        def body(i, qq):
+            qn, _ = step_core(qq, topo, extra, dt, i, gp_state)
+            return qn
+
+    @jax.jit
+    def run(q, gp_state):
+        return jax.lax.fori_loop(0, n_steps, body, q)
+
+    out = run(q0, gp_state)
+    float(out[0, 1, 1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(out, gp_state)
+        float(out[0, 1, 1])
+        times.append(time.perf_counter() - t0)
+    return nx * ny * n_steps / float(np.median(times))
+
+
 def bench_gp_ehl(nx=1024, ny=1024, cap=64):
     """Fused GP x elastic production throughput (the elastic route of
     run_steps_gp_fast, reference protocol deform_every=1): per step the
@@ -658,6 +762,10 @@ def main():
         result["gp_closed_1024_cap1024_cu_s"] = float(
             bench_gp_closed(cap=1024, n_steps=24))
 
+    def _gp_dn():
+        result["gp_closed_dn_1024_cap64_cu_s"] = float(
+            bench_gp_closed_dn())
+
     def _ehl4096():
         result["ehl_4096_cu_s"] = float(bench_ehl_step(nx=4096, ny=4096))
 
@@ -728,6 +836,7 @@ def main():
     stage("ehl_1024", _ehl1024)
     stage("ehl_1024_ghost", _ehl1024g)
     stage("fv_2048", _fv2048)
+    stage("gp_closed_dn", _gp_dn)
     stage("gp_refit", _refit)
     stage("gp_sol", _gp_sol)
     stage("ici", _ici)

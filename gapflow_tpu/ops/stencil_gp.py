@@ -34,8 +34,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import (HALO_X, N_STATIC, _eta_fused,
-                      _extend_interior, _reassemble, _statics_ghosted,
+from .stencil import (HALO_X, N_STATIC, _edges_uniform, _eta_fused,
+                      _extend_bc, _extend_interior, _pad_width,
+                      _reassemble, _refill_ghosts, _statics_ghosted,
                       _fully_periodic, pallas_supported)
 from ..core.step import mc_directions
 from ..models.eos import eos_pressure
@@ -520,6 +521,180 @@ def make_pallas_gp_step_fn(cfg, active_dims, num_features, use_gp,
         q_new = _reassemble(q, out_q)
         p_full = jnp.pad(out_p, ((1, 1), (1, 1)), mode="wrap")
         return q_new, p_full
+
+    return step
+
+
+def gp_bc_kernel_supported(cfg, ny, active_dims, use_gp):
+    """Coverage of the D/N (uniform-edge) GP step kernel.
+
+    The bc det kernel's conditions (static pass order, lane-aligned
+    width, per-edge-uniform P/D/N, no thinning) plus the GP feature
+    constraint.  Fully periodic configs take the cheaper wrap-layout
+    kernel (:func:`gp_kernel_supported`) instead.
+    """
+    if (cfg.MC_order == 0 or ny % 128 or cfg.thinning is not None
+            or _fully_periodic(cfg) or not _edges_uniform(cfg)):
+        return False
+    for dims, used in zip(active_dims, use_gp):
+        if used and (dims is None or any(d >= 7 for d in dims)):
+            return False
+    return True
+
+
+def _kernel_fused_gp_bc(cfg, gpspec, bs, ny, n_strips, per_x, d0, d1,
+                        dt_ref, q_hbm, st_hbm, *refs):
+    """Per-strip GP-closed MacCormack step on a D/N (uniform-edge)
+    domain: the :func:`_kernel_fused_gp` body on the W-wide
+    ghost-explicit layout with the serial ghost refill between the
+    passes (ops.stencil._refill_ghosts — the bc det kernel's scheme).
+
+    q-only output: the callers (whole-run scans of frozen-GP
+    production runs, Problem.run_steps_gp_fast) discard the pass-2
+    pressure, so the ghost-ring pressure emission that the per-step
+    host protocol needs (al_chunked / GP x EHL pass-2 deformation)
+    stays out of scope — those paths keep the XLA step on D/N domains.
+    """
+    if gpspec.get("mode") == "mxu":
+        Waug, Aaug, out_q, q_loc, st_loc, gp_out, sems = refs
+        gp_ops = (Waug, Aaug, gp_out, gpspec["du"], gpspec["mt"])
+    else:
+        n_models = sum(gpspec["use"])
+        gp_arrs = refs[:4 * n_models]
+        out_q, q_loc, st_loc, sems = refs[4 * n_models:]
+
+        gp_ops = {}
+        k = 0
+        for key, used in zip(("z", "x", "y"), gpspec["use"]):
+            if used:
+                gp_ops[key] = tuple(gp_arrs[4 * k:4 * k + 4])
+                k += 1
+
+    i = pl.program_id(0)
+    x0 = pl.multiple_of(i * bs, 8)
+    rows = bs + 2 * HALO_X
+
+    cp_q = pltpu.make_async_copy(
+        q_hbm.at[:, pl.ds(x0, rows), :], q_loc, sems.at[0])
+    cp_s = pltpu.make_async_copy(
+        st_hbm.at[:, pl.ds(x0, rows), :], st_loc, sems.at[1])
+    cp_q.start()
+    cp_s.start()
+    cp_q.wait()
+    cp_s.wait()
+
+    dt = dt_ref[0]
+    st = tuple(st_loc[c] for c in range(N_STATIC))
+    q0_0, q1_0, q2_0 = q_loc[0], q_loc[1], q_loc[2]
+
+    a, b, c, _ = _one_pass_gp(cfg, gpspec, q0_0, q1_0, q2_0, st, dt, d0,
+                              gp_ops)
+    a, b, c = _refill_ghosts(cfg, [a, b, c], bs, ny, i, n_strips)
+    a2, b2, c2, _ = _one_pass_gp(cfg, gpspec, a, b, c, st, dt, d1,
+                                 gp_ops)
+
+    sl = slice(HALO_X, HALO_X + bs)
+    out_q[0] = (a2[sl, :ny] + q0_0[sl, :ny]) / 2.
+    out_q[1] = (b2[sl, :ny] + q1_0[sl, :ny]) / 2.
+    out_q[2] = (c2[sl, :ny] + q2_0[sl, :ny]) / 2.
+
+
+def make_gp_call_bc(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
+                    dtype=jnp.float32):
+    """Raw D/N GP-step pallas_call on W-wide extended arrays (q-only).
+
+    Returns ``(call, prep)``: ``call(q_ext, stat_ext, dt, *gp_arrs) ->
+    out_q (3, nx, ny)`` over the :func:`ops.stencil._extend_bc`
+    ghost-explicit layout, and ``prep(gp_state) -> [gp_arrs]``.
+    """
+    if not gp_bc_kernel_supported(cfg, ny, active_dims, use_gp):
+        raise ValueError("D/N GP Pallas kernel does not cover this "
+                         "config")
+    mxu = max(c for c, u in zip(caps, use_gp) if u) > UNROLL_CAP
+    W = _pad_width(ny)
+    per_x = all(cfg.bc_edge(0)["P"])
+    if bs is None:
+        bs = max(8, min(nx, ((64 * 1024) // ny) // 8 * 8))
+        while nx % bs and bs > 8:
+            bs -= 8
+    bs = min(bs, nx)
+    assert nx % bs == 0 and bs % 8 == 0
+    grid = (nx // bs,)
+    rows = bs + 2 * HALO_X
+    d0, d1 = mc_directions(cfg.MC_order)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    gpspec = {"dims": active_dims, "use": use_gp}
+    n_models = sum(use_gp)
+    scratch = [pltpu.VMEM((3, rows, W), dtype),
+               pltpu.VMEM((N_STATIC, rows, W), dtype)]
+    if mxu:
+        du, Mtot, mt = _mxu_spec(active_dims, use_gp, caps)
+        gpspec.update(mode="mxu", du=du, mt=mt)
+        n_gp_arrs = 2
+        scratch.append(pltpu.VMEM((8 + 2 * len(du), rows, W), dtype))
+    else:
+        du = Mtot = None
+        n_gp_arrs = 4 * n_models
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    kern = partial(_kernel_fused_gp_bc, cfg, gpspec, bs, ny, grid[0],
+                   per_x, d0, d1)
+
+    def prep(gp_state):
+        if mxu:
+            return [a.astype(dtype) for a in _prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot)]
+        gp_arrs = []
+        for key, dims, used in zip(("z", "x", "y"), active_dims, use_gp):
+            if used:
+                gp_arrs.extend(a.astype(dtype) for a in
+                               _prep_gp_ops(gp_state, dims, key))
+        return gp_arrs
+
+    def call(q_ext, stat_ext, dt, *gp_arrs):
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)]
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                     * n_gp_arrs,
+            out_specs=pl.BlockSpec((3, bs, ny), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, nx, ny), dtype),
+            scratch_shapes=scratch,
+            grid=grid,
+            compiler_params=params,
+        )(dt, q_ext, stat_ext, *gp_arrs)
+
+    return call, prep
+
+
+def make_pallas_gp_step_bc_fn(cfg, active_dims, num_features, use_gp,
+                              nx, ny, caps, bs=None, dtype=jnp.float32):
+    """Unjitted q-only GP step for D/N domains:
+    ``step(q, topo, extra, dt, gp_state) -> q`` through the bc GP
+    kernel, ghost ring refreshed with the serial fill (linear, so the
+    fresh fill equals the step-evolved ghosts).  Used by the whole-run
+    frozen-GP scan (run_steps_gp_fast) on uniform-D/N configurations.
+    """
+    from ..core.step import apply_bcs
+
+    call, prep = make_gp_call_bc(cfg, active_dims, use_gp, caps, nx, ny,
+                                 bs, dtype)
+    W = _pad_width(ny)
+    per_x = all(cfg.bc_edge(0)["P"])
+
+    def step(q, topo, extra, dt, gp_state):
+        q = q.astype(dtype)
+        dt = jnp.asarray(dt, dtype)[None]
+        q_ext = _extend_bc(q, per_x, W)
+        stat_ext = _statics_ghosted(
+            _extend_bc(topo.astype(dtype)[:3], per_x, W),
+            _extend_bc(extra.astype(dtype), per_x, W))
+        out_q = call(q_ext, stat_ext, dt, *prep(gp_state))
+        out = jnp.zeros_like(q).at[:, 1:-1, 1:-1].set(out_q)
+        return apply_bcs(out, cfg)
 
     return step
 

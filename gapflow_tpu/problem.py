@@ -1095,15 +1095,36 @@ class Problem:
 
                 q = rem_steps(q, dt, gp_state)
         else:
-            step_core = make_gp_step_core(cfg, dims3, nf, use3)
+            use_bc_kernel = False
+            if dtype == jnp.float32 and _jax.default_backend() != "cpu":
+                from .ops.stencil_gp import gp_bc_kernel_supported
+                use_bc_kernel = (nx % 8 == 0
+                                 and gp_bc_kernel_supported(cfg, ny,
+                                                            dims3, use3))
+            if use_bc_kernel:
+                # uniform-D/N domains (the reference's slider GP
+                # configurations): scan the q-only bc GP kernel —
+                # ~3x the XLA GP step (which materializes the
+                # (cap x cells) kernel matrix in HBM each pass)
+                from .ops.stencil_gp import make_pallas_gp_step_bc_fn
+                kstep = make_pallas_gp_step_bc_fn(cfg, dims3, nf, use3,
+                                                  nx, ny, caps3)
 
-            @_jax.jit
-            def scan_steps(q, dt, n_arr, gp_state):
-                def body(i, qq):
-                    qn, _ = step_core(qq, topo, extra, dt,
-                                      self.step + i, gp_state)
-                    return qn
-                return _jax.lax.fori_loop(0, n_arr, body, q)
+                @_jax.jit
+                def scan_steps(q, dt, n_arr, gp_state):
+                    def body(i, qq):
+                        return kstep(qq, topo, extra, dt, gp_state)
+                    return _jax.lax.fori_loop(0, n_arr, body, q)
+            else:
+                step_core = make_gp_step_core(cfg, dims3, nf, use3)
+
+                @_jax.jit
+                def scan_steps(q, dt, n_arr, gp_state):
+                    def body(i, qq):
+                        qn, _ = step_core(qq, topo, extra, dt,
+                                          self.step + i, gp_state)
+                        return qn
+                    return _jax.lax.fori_loop(0, n_arr, body, q)
 
             q = scan_steps(q, dt, jnp.asarray(n, jnp.int32), gp_state)
 

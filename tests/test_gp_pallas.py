@@ -230,3 +230,63 @@ def test_gp_pallas_hbm_loop_matches_steps(cap, n, tmp_path):
     sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
     sc = np.maximum(sc, 1e-6 * sc.max())
     assert np.max(np.abs(qk - qr) / sc) < 5e-5
+
+
+@pytest.mark.parametrize("with_shear,cap", [(False, 8), (True, 8),
+                                            (True, 96)])
+def test_gp_pallas_bc_step_matches_xla(with_shear, cap, tmp_path):
+    """The D/N (uniform-edge) GP kernel — _kernel_fused_gp_bc on the
+    W-wide ghost-explicit layout with the serial refill between passes —
+    equals the XLA GP step over several steps (the ghost ring re-fills
+    linearly, so trajectories compose)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.ops.stencil_gp import (make_pallas_gp_step_bc_fn,
+                                            gp_bc_kernel_supported)
+
+    sim_dn = SIM.replace("    Ny: 128", """    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 877.7007
+    xW_D: 877.7007""")
+    with contextlib.redirect_stdout(io.StringIO()):
+        problem = Problem.from_string(
+            sim_dn.format(shear_gp=SHEAR_GP if with_shear else "",
+                          tmp=tmp_path))
+        problem._pre_run()
+    dims = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                 for m in (problem.pressure, problem.wall_stress_xz,
+                           problem.wall_stress_yz))
+    use = tuple(m.is_gp_model for m in (problem.pressure,
+                                        problem.wall_stress_xz,
+                                        problem.wall_stress_yz))
+    cfg = problem._solver_cfg
+    assert gp_bc_kernel_supported(cfg, 128, dims, use)
+
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_state(dims, use, cap, rng)
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+
+    nf = problem.database.num_features
+    ref_step = make_gp_step_core(cfg, dims, nf, use)
+    qr = q
+    for k in range(3):
+        qr, _ = ref_step(qr, topo, extra, dt, k, gp_state)
+
+    caps = tuple(cap if u else 0 for u in use)
+    with pltpu.force_tpu_interpret_mode():
+        kstep = make_pallas_gp_step_bc_fn(cfg, dims, nf, use, 32, 128,
+                                          caps, bs=16)
+        qk = q
+        for k in range(3):
+            qk = kstep(qk, topo, extra, dt, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    assert np.max(np.abs(qk - qr) / sc) < 5e-5
