@@ -104,7 +104,7 @@ def _gp_mean(feats, dims, coef, Wm2, w2, alpha, n_out):
     return acc
 
 
-def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
+def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):  # noqa: C901
     """Capacity-tiled MXU evaluation of ALL active surrogate means.
 
     The three surrogates' contractions are batched into one MXU-shaped
@@ -132,7 +132,12 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
     Mtot = Waug_ref.shape[0]
     n_t = Mtot // mt
     d_n = len(du)
-    ones = jnp.ones((1, ny), jnp.float32)
+    # bf16 Waug marks the split-K f32 route; f64 (CPU verification
+    # kernels) keeps the full-precision product — the bf16 split only
+    # reaches f32 accuracy
+    f32_split = Waug_ref.dtype == jnp.bfloat16
+    dt_ = feats[0].dtype
+    ones = jnp.ones((1, ny), dt_)
 
     # Stage the (scaled) feature columns and their squares into the
     # scratch channels 8.. of out_ref: the row-block loop below is
@@ -150,24 +155,31 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):
             xaug = jnp.concatenate(
                 [blks[i, rr:rr + 1] for i in range(2 * d_n)] + [ones],
                 axis=0)
-            # f32-accurate arg^2 from ONE bf16 pass: split the design
-            # row into 3 bf16 terms and K-concatenate the 6 retained
-            # cross products against the pre-split Waug (a plain bf16
-            # pass here costs ~2^-9 relative on the staged features —
-            # the round-2 precision leak; a HIGHEST f32 matmul is exact
-            # but pays 6 K-padded MXU passes)
-            xsp = _bf16_3split(xaug)
-            x6 = jnp.concatenate([xsp[i] for i in _SPLIT_X], axis=0)
-            acc = jnp.zeros((8, ny), jnp.float32)
+            if f32_split:
+                # f32-accurate arg^2 from ONE bf16 pass: split the
+                # design row into 3 bf16 terms and K-concatenate the 6
+                # retained cross products against the pre-split Waug (a
+                # plain bf16 pass here costs ~2^-9 relative on the
+                # staged features — the round-2 precision leak; a
+                # HIGHEST f32 matmul is exact but pays 6 K-padded MXU
+                # passes)
+                xsp = _bf16_3split(xaug)
+                x_in = jnp.concatenate([xsp[i] for i in _SPLIT_X],
+                                       axis=0)
+            else:
+                x_in = xaug
+            acc = jnp.zeros((8, ny), dt_)
             for t in range(n_t):
                 Wt = Waug_ref[pl.ds(t * mt, mt), :]
-                arg2 = jnp.dot(Wt, x6,
-                               preferred_element_type=jnp.float32)
+                arg2 = jnp.dot(Wt, x_in,
+                               preferred_element_type=dt_,
+                               precision=(None if f32_split
+                                          else lax.Precision.HIGHEST))
                 arg = jnp.sqrt(jnp.maximum(arg2, 3e-14))
                 e = jnp.exp(-arg)
                 km = e + arg * e
                 acc = acc + jnp.dot(Aaug_ref[:, pl.ds(t * mt, mt)], km,
-                                    preferred_element_type=jnp.float32,
+                                    preferred_element_type=dt_,
                                     precision=lax.Precision.HIGHEST)
             accs.append(acc)
         out_ref[:8, pl.ds(r0, 8), :] = jnp.stack(accs, axis=1)
@@ -336,14 +348,17 @@ def _mxu_spec(active_dims, use_gp, caps):
     return du, Mtot, mt
 
 
-def _prep_gp_ops_mxu(gp_state, active_dims, use_gp, du, Mtot):
+def _prep_gp_ops_mxu(gp_state, active_dims, use_gp, du, Mtot,
+                     dtype=jnp.float32):
     """XLA-side assembly of the batched augmented train arrays.
 
     Waug: (Mtot, 2*len(du)+1) with column blocks per active model (see
     :func:`_gp_all_mxu`); Aaug: (8, Mtot) block-diagonal alpha with amp
     and Yscale folded in (rows 5..7 zero padding).  Padding train rows
     are all-zero: their matmul emits arg2 = 0 and alpha 0 annihilates the
-    kernel value.
+    kernel value.  For f32 kernels Waug ships as the K-concatenated
+    bf16 split (:func:`_split_k_bf16`); f64 (CPU verification) keeps
+    the plain f64 matrix.
     """
     nd = len(du)
     pos = {d: i for i, d in enumerate(du)}
@@ -381,7 +396,10 @@ def _prep_gp_ops_mxu(gp_state, active_dims, use_gp, du, Mtot):
     if pad:
         Waug = jnp.pad(Waug, ((0, pad), (0, 0)))
         Aaug = jnp.pad(Aaug, ((0, pad), (0, 0)))
-    return _split_k_bf16(Waug), Aaug.T
+    if dtype == jnp.float32:
+        return _split_k_bf16(Waug.astype(jnp.float32)), \
+            Aaug.T.astype(jnp.float32)
+    return Waug.astype(dtype), Aaug.T.astype(dtype)
 
 
 def _bf16_3split(v):
@@ -463,8 +481,8 @@ def make_gp_call(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
 
     def prep(gp_state):
         if mxu:
-            return [a.astype(dtype) for a in _prep_gp_ops_mxu(
-                gp_state, active_dims, use_gp, du, Mtot)]
+            return list(_prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot, dtype))
         gp_arrs = []
         for key, dims, used in zip(("z", "x", "y"), active_dims, use_gp):
             if used:
@@ -642,8 +660,8 @@ def make_gp_call_bc(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
 
     def prep(gp_state):
         if mxu:
-            return [a.astype(dtype) for a in _prep_gp_ops_mxu(
-                gp_state, active_dims, use_gp, du, Mtot)]
+            return list(_prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot, dtype))
         gp_arrs = []
         for key, dims, used in zip(("z", "x", "y"), active_dims, use_gp):
             if used:
@@ -885,8 +903,8 @@ def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
             _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
 
         if mxu:
-            gp_arrs = [a.astype(dtype) for a in _prep_gp_ops_mxu(
-                gp_state, active_dims, use_gp, du, Mtot)]
+            gp_arrs = list(_prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot, dtype))
         else:
             gp_arrs = []
             for key, dims, used in zip(("z", "x", "y"), active_dims,
@@ -1066,8 +1084,8 @@ def make_pallas_gp_loop_hbm(cfg, active_dims, num_features, use_gp,
             _extend_interior(extra.astype(dtype)[:, 1:-1, 1:-1]))
 
         if mxu:
-            gp_arrs = [a.astype(dtype) for a in _prep_gp_ops_mxu(
-                gp_state, active_dims, use_gp, du, Mtot)]
+            gp_arrs = list(_prep_gp_ops_mxu(
+                gp_state, active_dims, use_gp, du, Mtot, dtype))
         else:
             gp_arrs = []
             for key, dims, used in zip(("z", "x", "y"), active_dims,
