@@ -196,9 +196,11 @@ for mode in ("det", "gp", "ehl"):
 # ## Measured single-chip numbers (TPU v5e, f32)
 #
 # From `bench.py` (driver-verified each round; see `doc/status.md` for
-# the full table): deterministic 1024² ≈ 15e9 cell-updates/s
-# (whole-run-in-VMEM), 2048²–4096² ≈ 11e9 (HBM ping-pong, 4-step
-# temporal blocking), per-step-deformation EHL ≥ 2e9, GP refit at
-# N=2048 ≈ 2.7 ms, AL rank-1 update ≈ 0.7 ms — and the GP-closed
-# production throughput targets ≥ 1e9 at capacity 64 and ≥ 0.5e9 at
-# capacity 1024 through the kernels of this round.
+# the full table and the GP speed-of-light analysis): deterministic
+# 1024² ≈ 15e9 cell-updates/s (whole-run-in-VMEM), 2048²–4096² ≈ 11e9
+# (HBM ping-pong, 4-step temporal blocking), per-step-deformation EHL
+# 2.3e9 @1024² / 1.8e9 @4096², GP × EHL 2.4e8, GP-closed 3.2e8 @cap64
+# (2.7e8 on D/N domains) and 2.3e7 @cap1024 — 53%/63% of the VPU
+# transcendental bound for exact Matérn evaluation, which the split-K
+# bf16 distance matmul and in-VMEM closures approach — GP refit at
+# N=2048 ≈ 2.6 ms, AL rank-1 update ≈ 0.6 ms.
