@@ -3,6 +3,7 @@ protocol: same acquisitions, same database, same BFGS hyperparameters,
 same state — with the stepping between acquisitions compiled."""
 
 import numpy as np
+import pytest
 
 from gapflow_tpu import Problem
 
@@ -157,6 +158,7 @@ def _sim_elastic(tmp_path, tag, atol, al):
         alpha_underrelax: 1e-02""")
 
 
+@pytest.mark.filterwarnings("ignore:Semi-periodic 1D problem")
 def test_chunked_elastic_matches_host_protocol(tmp_path):
     """Multiscale EHL: GP closures + per-step elastic deformation in the
     compiled advance equal the host update() trajectory step-for-step
@@ -287,6 +289,7 @@ db:
     np.testing.assert_allclose(p_fast.q, p_host.q, rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.filterwarnings("ignore:Semi-periodic 1D problem")
 def test_gp_fast_elastic_matches_host(tmp_path):
     """run_steps_gp_fast on an ELASTIC problem (fused GP x elastic loop,
     core.ehl.make_gp_ehl_loop, deform_every=1) equals the host update()
@@ -316,6 +319,7 @@ def test_gp_fast_elastic_matches_host(tmp_path):
                                rtol=1e-6, atol=5e-9)
 
 
+@pytest.mark.filterwarnings("ignore:Semi-periodic 1D problem")
 def test_gp_fast_elastic_deform_every(tmp_path):
     """deform_every=K chunks the elastic FFT with the compounded
     relaxation factor 1-(1-alpha)^K: same fixed point; during the
