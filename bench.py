@@ -12,8 +12,10 @@ separately in float64 on CPU.
 
 import json
 import os
+import signal
 import sys
 import tempfile
+import threading
 import time
 
 os.environ.setdefault("GAPFLOW_X64", "0")
@@ -639,7 +641,15 @@ db:
     t0 = time.perf_counter()
     n_acq = problem.run_steps_gp_chunked(n_steps)
     wall = time.perf_counter() - t0
-    return nx * ny * n_steps / wall, int(n_acq)
+
+    # warm asymptote: a second window on the now-trained surrogate pays
+    # no compile and (typically) no acquisition — the per-step rate a
+    # long production run converges to
+    t0 = time.perf_counter()
+    n_acq2 = problem.run_steps_gp_chunked(n_steps)
+    warm_wall = time.perf_counter() - t0
+    return (nx * ny * n_steps / wall, int(n_acq),
+            nx * ny * n_steps / warm_wall, int(n_acq2))
 
 
 def bench_gp_sol(nx=1024, ny=1024):
@@ -688,49 +698,58 @@ def bench_gp_sol(nx=1024, ny=1024):
     return rate, sol(64), sol(1024)
 
 
-def _probe_device(timeout_s=300):
-    """Fail fast (and loudly) when the TPU runtime is unreachable.
+# ---------------------------------------------------------------------------
+# Harness.
+#
+# The driver runs `timeout N python bench.py` and parses the LAST JSON
+# line out of a BOUNDED tail of the MERGED stdout+stderr stream (rounds 3
+# and 4 were lost to this: protocol banners / retry diagnostics printed
+# after the final JSON line pushed it out of the tail, and the total
+# wall-clock blew the window — rc=124, parsed=null).  Hence four rules:
+#
+#  1. JSON-only output: at startup fd 1 and fd 2 are both redirected to
+#     data/bench_log.txt (fd-level, so C/XLA writes are caught too); the
+#     ONLY bytes the driver ever sees are cumulative-JSON lines written
+#     to a dup of the original stdout after every stage.
+#  2. One backend init: no probe subprocess.  A watchdog thread turns a
+#     wedged TPU-tunnel init into an error JSON + exit instead of a
+#     silent stall (round 3's init exceeded 600 s in the driver run).
+#  3. Global deadline (env BENCH_BUDGET_S, default 540 s): stages are
+#     launched only while their known-or-estimated cost fits in the
+#     remaining budget; the rest are recorded in "skipped".  Measured
+#     stage durations persist in data/bench_costs.json, so a driver run
+#     after a local warm-up run skips nothing it cannot afford.
+#  4. SIGTERM/SIGINT flush: if the driver's window expires anyway, the
+#     handler prints the cumulative JSON one last time and exits 0.
+# ---------------------------------------------------------------------------
 
-    Backend init through a wedged tunnel hangs indefinitely; probing in
-    a subprocess with a timeout turns that into a diagnostic JSON line
-    and an immediate nonzero exit instead of a silent driver stall.
-    ONE attempt with a ~300 s budget: healthy init measures ~60-110 s
-    but exceeds 150 s when the host is loaded (observed: a parallel CPU
-    pytest run pushed it past 150 s), while retries that outlive the
-    driver's bench window lose the whole round — round 3 proved it
-    (rc=124 with zero metrics after a 3x600s retry loop)."""
-    import subprocess
-    code = ("import jax, jax.numpy as jnp; "
-            "x = jnp.ones((8, 8)); print(float(x.sum()))")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             timeout=timeout_s, capture_output=True)
-        if out.returncode == 0:
-            return None
-        err = out.stderr.decode()[-400:]
-    except subprocess.TimeoutExpired:
-        err = f"device probe timed out after {timeout_s}s"
-    return err
+_COSTS_PATH = os.path.join("data", "bench_costs.json")
+
+# conservative cold-cache cost estimates [s]; overwritten by measured
+# durations from the previous run (persistent JAX compile cache makes
+# repeat runs far cheaper than these)
+_EST = {
+    "init": 120, "fv_1024": 60, "ici": 2, "gp_refit": 45, "gp_sol": 30,
+    "gp_closed_cap64": 90, "correctness": 120, "gp_closed_cap1024": 60,
+    "ehl_1024": 90, "gp_ehl_1024": 90, "gp_closed_dn": 60,
+    "ehl_4096": 120, "sharded_local": 60, "gp_al_e2e": 90,
+    "fv_2048": 45, "ehl_1024_ghost": 60,
+}
 
 
 def main():
     fv_target = 1e9
     gp_target = 5e-3
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    t_start = time.monotonic()
 
-    err = _probe_device()
-    if err is not None:
-        print(json.dumps({
-            "metric": "FV cell-updates/s/chip @1024^2 (f32)",
-            "value": 0.0, "unit": "cell-updates/s", "vs_baseline": 0.0,
-            "error": f"TPU runtime unreachable: {err}",
-        }))
-        sys.exit(1)
+    # --- rule 1: JSON-only driver stream -------------------------------
+    os.makedirs("data", exist_ok=True)
+    real_out = os.fdopen(os.dup(1), "w", buffering=1)
+    log_f = open(os.path.join("data", "bench_log.txt"), "w", buffering=1)
+    os.dup2(log_f.fileno(), 1)
+    os.dup2(log_f.fileno(), 2)
 
-    # Streamed, loss-proof protocol: stages run headline-first and the
-    # CUMULATIVE merged result is re-printed as one JSON line after every
-    # stage — if the driver's window expires mid-stage, the last printed
-    # line still carries every finished metric.  A stage that raises is
-    # recorded in "errors" and the rest keep running.
     result = {
         "metric": "FV cell-updates/s/chip @1024^2 (f32); gp_refit_ms @N=2048",
         "value": 0.0,
@@ -738,17 +757,102 @@ def main():
         "vs_baseline": 0.0,
     }
     errors = {}
+    skipped = []
+    stage_s = {}
+    state = {"running": None, "done": False}
+
+    def emit():
+        if state["running"] is not None:
+            result["stage_running"] = state["running"]
+        else:
+            result.pop("stage_running", None)
+        result["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        try:
+            real_out.write(json.dumps(result) + "\n")
+            real_out.flush()
+        except Exception:
+            pass
+
+    # --- rule 4: flush on the driver's kill signal ---------------------
+    def _flush_and_exit(signum, frame):
+        result["killed_by_signal"] = int(signum)
+        emit()
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _flush_and_exit)
+
+    # --- rule 3: deadline watchdog -------------------------------------
+    deadline = t_start + budget
+
+    def _watchdog():
+        while not state["done"]:
+            time.sleep(2)
+            if time.monotonic() > deadline + 15:
+                # a stage overran its estimate past the global budget —
+                # flush what we have before the driver's timeout hits
+                result["deadline_overrun"] = True
+                emit()
+                os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # measured costs from a previous run beat the static estimates
+    try:
+        with open(_COSTS_PATH) as fh:
+            _EST.update({k: 1.3 * v for k, v in json.load(fh).items()})
+    except Exception:
+        pass
+
+    def remaining():
+        return deadline - time.monotonic()
+
+    # --- rule 2: single backend init, watchdog-guarded -----------------
+    state["running"] = "init"
+    t0 = time.monotonic()
+    import jax
+    import jax.numpy as jnp
+    float(jnp.ones((8, 8)).sum())
+    stage_s["init"] = round(time.monotonic() - t0, 1)
+    result["backend"] = jax.default_backend()
+    state["running"] = None
+    emit()
 
     def stage(name, fn):
-        t0 = time.perf_counter()
+        est = _EST.get(name, 90)
+        if remaining() < est:
+            skipped.append(name)
+            result["skipped"] = skipped
+            print(f"# stage {name} SKIPPED (est {est:.0f}s > "
+                  f"{remaining():.0f}s left)", file=sys.stderr)
+            emit()
+            return
+        state["running"] = name
+        t0 = time.monotonic()
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — isolate stage failures
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             result["errors"] = errors
-        print(f"# stage {name} done in {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr)
-        print(json.dumps(result), flush=True)
+        dur = time.monotonic() - t0
+        stage_s[name] = round(dur, 1)
+        result["stage_s"] = stage_s
+        state["running"] = None
+        print(f"# stage {name} done in {dur:.1f}s", file=sys.stderr)
+        # persist measured costs incrementally: a deadline-cut run still
+        # leaves the next run accurate estimates
+        try:
+            try:
+                with open(_COSTS_PATH) as fh:
+                    costs = json.load(fh)
+            except Exception:
+                costs = {}
+            costs.update(stage_s)
+            with open(_COSTS_PATH, "w") as fh:
+                json.dump(costs, fh)
+        except Exception:
+            pass
+        emit()
 
     def _fv1024():
         v = float(bench_fv_step())
@@ -794,9 +898,14 @@ def main():
         result["gp_vs_target"] = float(gp_target / refit_s)
 
     def _al_e2e():
-        cu_s, n_acq = bench_gp_al_e2e()
-        result["gp_al_e2e_1024_cu_s"] = float(cu_s)
-        result["gp_al_e2e_n_acq"] = n_acq
+        # bounded: 256^2 x 50 steps (round 4's unbounded 1024^2 x 200
+        # cold-start run alone exceeded the driver window); the warm
+        # number is the long-run asymptote, separated from compile cost
+        cold, n_acq, warm, n_acq2 = bench_gp_al_e2e(nx=256, ny=256,
+                                                    n_steps=50)
+        result["gp_al_e2e_256_cold_cu_s"] = float(cold)
+        result["gp_al_e2e_256_warm_cu_s"] = float(warm)
+        result["gp_al_e2e_n_acq"] = n_acq + n_acq2
 
     def _ici():
         from gapflow_tpu.parallel.pallas_halo import ici_bytes_per_step
@@ -821,28 +930,53 @@ def main():
         # correctness on the SAME backend as the throughput numbers: f32
         # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
         # equality (on TPU this is the only Mosaic-compiled check; the CPU
-        # suite runs the kernels in interpret mode only)
+        # suite runs the kernels in interpret mode only).  The block gets
+        # most of the remaining budget but must leave the gp_closed /
+        # ehl headline stages room — it skips pending sub-checks at its
+        # own deadline instead of blowing the global one (round 4's
+        # failure mode).
         from gapflow_tpu.validate import correctness_block
-        result["correctness"] = correctness_block()
+        result["correctness"] = correctness_block(
+            deadline=time.monotonic() + max(60., 0.6 * remaining()))
 
-    # headline-first; correctness BEFORE the slow cold-start AL stage so
-    # a driver-window cut cannot cost the required correctness block
+    # priority order: headline + the verdict-required metric set first,
+    # nice-to-have stages last (they are the ones a tight window skips)
     stage("fv_1024", _fv1024)
-    stage("gp_closed_cap64", _gp64)
-    stage("gp_closed_cap1024", _gp1024)
-    stage("ehl_4096", _ehl4096)
-    stage("sharded_local", _shard)
-    stage("gp_ehl_1024", _gp_ehl)
-    stage("ehl_1024", _ehl1024)
-    stage("ehl_1024_ghost", _ehl1024g)
-    stage("fv_2048", _fv2048)
-    stage("gp_closed_dn", _gp_dn)
+    stage("ici", _ici)
     stage("gp_refit", _refit)
     stage("gp_sol", _gp_sol)
-    stage("ici", _ici)
+    stage("gp_closed_cap64", _gp64)
     stage("correctness", _correct)
+    stage("gp_closed_cap1024", _gp1024)
+    stage("ehl_1024", _ehl1024)
+    stage("gp_ehl_1024", _gp_ehl)
+    stage("gp_closed_dn", _gp_dn)
+    stage("ehl_4096", _ehl4096)
+    stage("sharded_local", _shard)
     stage("gp_al_e2e", _al_e2e)
+    stage("fv_2048", _fv2048)
+    stage("ehl_1024_ghost", _ehl1024g)
 
+    # recompute SoL fractions in case gp_sol ran before gp_closed stages
+    if result.get("gp_sol_1024_cap64_cu_s") and \
+            result.get("gp_closed_1024_cap64_cu_s"):
+        result["gp_closed_cap64_sol_fraction"] = float(
+            result["gp_closed_1024_cap64_cu_s"]
+            / result["gp_sol_1024_cap64_cu_s"])
+    if result.get("gp_sol_1024_cap1024_cu_s") and \
+            result.get("gp_closed_1024_cap1024_cu_s"):
+        result["gp_closed_cap1024_sol_fraction"] = float(
+            result["gp_closed_1024_cap1024_cu_s"]
+            / result["gp_sol_1024_cap1024_cu_s"])
+
+    state["done"] = True
+    try:
+        with open(_COSTS_PATH, "w") as fh:
+            json.dump(stage_s, fh)
+    except Exception:
+        pass
+
+    emit()
     ok = result.get("correctness", {}).get("ok", False)
     if not ok or errors:
         print("BENCH INCOMPLETE OR CORRECTNESS FAILURE:"

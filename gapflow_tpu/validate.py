@@ -424,31 +424,52 @@ def gp_loop_parity(cap=96, n=3):
     return {"q_scaled_maxerr": q_err, "ok": bool(q_err < 5e-5)}
 
 
-def correctness_block(sommerfeld_steps=20000):
+def correctness_block(sommerfeld_steps=20000, deadline=None):
     """Run the checks; returns a dict for the bench JSON line.
 
     ``ok`` is False on any regression — bench.py exits nonzero on it.
+    ``deadline`` (time.monotonic value): checks still pending when it
+    passes are recorded in ``skipped`` instead of running — the bench's
+    global budget must not die inside this block (round 4 did).  Checks
+    run highest-priority first; per-check durations land in ``check_s``
+    so cost regressions are driver-visible.
     """
-    l2 = sommerfeld_l2(n_steps=sommerfeld_steps)
-    kern = pallas_vs_xla_err()
-    kern_thin = pallas_vs_xla_err(
-        extra_props=", piezo: {name: Barus, aB: 2.e-9}, "
-                    "thinning: {name: Eyring, tauE: 5.e5}", amp=1e-4)
-    al = al_chunked_parity()
-    ehl = ehl_kernel_bitexact()
-    gpk = gp_kernel_parity()
-    gpk_mxu = gp_kernel_parity(cap=1024)   # capacity-tiled MXU mode
-    gpl = gp_loop_parity()
-    return {
-        "sommerfeld_l2": l2,
-        "pallas_vs_xla_max_scaled_err": kern,
-        "pallas_thinning_vs_xla_max_scaled_err": kern_thin,
-        "al_chunked": al,
-        "ehl_kernel": ehl,
-        "gp_kernel": gpk,
-        "gp_kernel_mxu": gpk_mxu,
-        "gp_loop": gpl,
-        "ok": bool(l2 < 0.02 and kern < 1e-4 and kern_thin < 1e-4
-                   and al["ok"] and ehl["ok"] and gpk["ok"]
-                   and gpk_mxu["ok"] and gpl["ok"]),
+    import time as _time
+
+    checks = [
+        ("pallas_vs_xla_max_scaled_err", pallas_vs_xla_err),
+        ("gp_kernel", gp_kernel_parity),
+        ("sommerfeld_l2",
+         lambda: sommerfeld_l2(n_steps=sommerfeld_steps)),
+        ("ehl_kernel", ehl_kernel_bitexact),
+        ("al_chunked", al_chunked_parity),
+        ("pallas_thinning_vs_xla_max_scaled_err",
+         lambda: pallas_vs_xla_err(
+             extra_props=", piezo: {name: Barus, aB: 2.e-9}, "
+                         "thinning: {name: Eyring, tauE: 5.e5}",
+             amp=1e-4)),
+        ("gp_kernel_mxu", lambda: gp_kernel_parity(cap=1024)),
+        ("gp_loop", gp_loop_parity),
+    ]
+    thresholds = {
+        "sommerfeld_l2": lambda v: v < 0.02,
+        "pallas_vs_xla_max_scaled_err": lambda v: v < 1e-4,
+        "pallas_thinning_vs_xla_max_scaled_err": lambda v: v < 1e-4,
     }
+
+    out = {"check_s": {}, "skipped": []}
+    ok = True
+    for name, fn in checks:
+        if deadline is not None and _time.monotonic() > deadline:
+            out["skipped"].append(name)
+            continue
+        t0 = _time.monotonic()
+        out[name] = fn()
+        out["check_s"][name] = round(_time.monotonic() - t0, 1)
+        passed = (thresholds[name](out[name]) if name in thresholds
+                  else bool(out[name]["ok"]))
+        ok = ok and passed
+    out["ok"] = bool(ok)
+    if not out["skipped"]:
+        del out["skipped"]
+    return out
