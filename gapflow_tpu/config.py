@@ -103,6 +103,11 @@ def read_yaml_input(file):
 
     raw = yaml.full_load(file)
     silent = bool((raw.get("options") or {}).get("silent", False))
+    # gate the protocol banners (GP training blocks, MD boxes, database
+    # loading messages) BEFORE anything downstream constructs — the
+    # Database loads before Problem.__init__ re-asserts the flag
+    from .utils import set_quiet
+    set_quiet(silent)
 
     sanitizers = {
         "options": sanitize_options,

@@ -19,6 +19,7 @@ import jax.random as jr
 from scipy.stats import qmc
 
 from . import datasets as dt
+from .utils import echo
 
 
 class Database:
@@ -121,10 +122,10 @@ class Database:
                        for ds in ds_list]
         readme_list = [rm for rm in readme_list if rm and "X" in rm]
 
-        print(f"Loading {len(readme_list)} local datasets "
+        echo(f"Loading {len(readme_list)} local datasets "
               f"in '{self.training_path}'.")
         for ds in ds_list:
-            print(f"- {ds.uuid} ({ds.name})")
+            echo(f"- {ds.uuid} ({ds.name})")
         return readme_list
 
     def get_readme_list_remote(self, query=None, lookup_url=None,
@@ -199,8 +200,8 @@ class Database:
         if Nsample <= 0:
             return
 
-        print(f"Database contains less than {init_size} MD runs.")
-        print(f"Generate new training data in {self.training_path}")
+        echo(f"Database contains less than {init_size} MD runs.")
+        echo(f"Generate new training data in {self.training_path}")
 
         Xtest = jnp.asarray(Xtest)
         if dim == 1:
@@ -274,7 +275,7 @@ def _get_sobol_samples(N, lo, hi, seed=None):
     m = int(np.log2(N))
     if 2 ** m != N:
         m = int(np.ceil(np.log2(N)))
-        print(f"Sample size should be a power of 2 for Sobol sampling. "
+        echo(f"Sample size should be a power of 2 for Sobol sampling. "
               f"Use Ninit={2 ** m}.")
     return jnp.asarray(qmc.scale(sampler.random_base2(m=m),
                                  np.asarray(lo), np.asarray(hi)))

@@ -16,7 +16,7 @@ from getpass import getuser
 import yaml as _yaml
 
 from .. import datasets as dt
-from ..utils import bordered_text, make_dumpable
+from ..utils import bordered_text, echo, make_dumpable
 from .runner import run_lammps, run_parallel, run_serial
 
 
@@ -74,7 +74,7 @@ class MolecularDynamics:
                 self._ascii_art, "---"]
         for i, (Xi, name) in enumerate(zip(X, self._input_names)):
             text.append(f"Input {i + 1}: {float(Xi):+.3e}    ({name})")
-        print(bordered_text("\n".join(text)))
+        echo(bordered_text("\n".join(text)))
 
     def _write_readme(self, dataset_path, Xnew, Ynew, Yerrnew):
         metadata = _yaml.safe_load(self._readme_template) \

@@ -8,6 +8,25 @@ import sys
 
 import numpy as np
 
+_quiet = False
+
+
+def set_quiet(flag):
+    """Silence protocol banners (GP training blocks, MD run boxes).
+
+    Set by :class:`~gapflow_tpu.problem.Problem` from ``options: silent``
+    so that a silent run writes nothing to stdout (reference GaPFlow
+    prints these unconditionally; here they are part of the verbose
+    protocol trace only)."""
+    global _quiet
+    _quiet = bool(flag)
+
+
+def echo(*args, **kwargs):
+    """``print`` gated on the ``options: silent`` flag."""
+    if not _quiet:
+        print(*args, **kwargs)
+
 
 def progressbar(it, prefix="", size=40, out=sys.stdout):
     """Yield items of ``it`` while drawing a simple terminal progress bar."""
