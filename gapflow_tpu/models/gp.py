@@ -31,6 +31,8 @@ import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
+from ..utils import echo
+
 
 # ---------------------------------------------------------------------------
 # Pure GP math
@@ -325,7 +327,26 @@ def fit_hyperparameters(params0, X, Y, yerr, method="BFGS"):
     """Host-driven NLML minimization (scipy optimizer + jitted value/grad).
 
     Returns (params, final_objective).
+
+    Small training sets (the active-learning growth regime) run the
+    objective on the HOST CPU device: each scipy iteration is one device
+    call, and on a tunneled TPU runtime that call costs ~25-30 ms of
+    round-trip latency against sub-ms of math — measured 170 s of
+    _pre_run for three cold fits at N=4.  Large sets (N > 1024) keep the
+    accelerator, where the Cholesky dominates the dispatch.
     """
+    n = int(np.asarray(X).shape[0])
+    if jax.default_backend() != "cpu" and n <= 1024:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return _fit_hyperparameters_host(
+                jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params0),
+                jnp.asarray(np.asarray(X)), jnp.asarray(np.asarray(Y)),
+                jnp.asarray(np.asarray(yerr)), method)
+    return _fit_hyperparameters_host(params0, X, Y, yerr, method)
+
+
+def _fit_hyperparameters_host(params0, X, Y, yerr, method):
     flat0, unravel = jax.flatten_util.ravel_pytree(params0)
 
     def fun(flat):
@@ -504,22 +525,22 @@ class GaussianProcessSurrogate:
                 float(self.kernel_lengthscale[i]))
 
     def _print_opt_summary(self, obj):
-        print(f"# Objective    : {obj:.5g}")
-        print("# Hyperparam   :", end=" ")
-        print(f"{float(self.kernel_variance):.5e}", end=" ")
-        print(f"{float(self.obs_stddev):.5e}", end=" ")
+        echo(f"# Objective    : {obj:.5g}")
+        echo("# Hyperparam   :", end=" ")
+        echo(f"{float(self.kernel_variance):.5e}", end=" ")
+        echo(f"{float(self.obs_stddev):.5e}", end=" ")
         for li in np.atleast_1d(np.asarray(self.kernel_lengthscale)):
-            print(f"{li:.5e}", end=" ")
-        print()
+            echo(f"{li:.5e}", end=" ")
+        echo()
 
     # -- training & inference ----------------------------------------------
     def _train(self, reason=0):
         self._last_fit_train_size = int(self._database.size)
 
-        print("#" + 17 * "-" + f"GP TRAINING ({self.name.upper()})" + 17 * "-")
-        print("# Timestep     :", self._step)
-        print("# Reason       :", ["DB", "AL"][reason])
-        print("# Database size:", self._database.size)
+        echo("#" + 17 * "-" + f"GP TRAINING ({self.name.upper()})" + 17 * "-")
+        echo("# Timestep     :", self._step)
+        echo("# Reason       :", ["DB", "AL"][reason])
+        echo("# Database size:", self._database.size)
 
         Y = self.Ytrain
         self.params, obj = fit_hyperparameters(
@@ -529,7 +550,7 @@ class GaussianProcessSurrogate:
         if self._step > 0:
             self.write()
         if reason == 0:
-            print("#" + 50 * "-")
+            echo("#" + 50 * "-")
 
         # force a fresh conditioning with the new data/hyperparameters
         self.cond_gp = None
@@ -653,14 +674,14 @@ class GaussianProcessSurrogate:
                 self._cumtime_infer += datetime.now() - tic
 
                 after = self.maximum_variance / self.variance_tol
-                print(f"# AL {counter:2d}/{self.max_steps:2d}     : "
-                      f"{float(before):.3f} --> {float(after):.3f}")
-                print("#" + 50 * "-")
+                echo(f"# AL {counter:2d}/{self.max_steps:2d}     : "
+                     f"{float(before):.3f} --> {float(after):.3f}")
+                echo("#" + 50 * "-")
 
             if counter == self.max_steps:
-                print("# Active learning loop missed uncertainty threshold")
-                print(f"# Pause for {self.pause_steps} steps...")
-                print("#" + 50 * "-")
+                echo("# Active learning loop missed uncertainty threshold")
+                echo(f"# Pause for {self.pause_steps} steps...")
+                echo("#" + 50 * "-")
                 self._pause = self.pause_steps
 
         # the returned variance is always the full-grid field (possibly from

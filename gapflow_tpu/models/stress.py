@@ -14,6 +14,7 @@ used by the source term.
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import vmap, grad
 
@@ -221,6 +222,21 @@ class BulkStress(GaussianProcessSurrogate):
             self.geo["V"], eta, self.prop["bulk"], self.extra))
 
 
+@jax.jit
+def _gp_vsound(params, X, alpha, Xtest, yscale, xscale0):
+    """Jitted GP sound speed: one device dispatch for the whole
+    vmap(grad(mean)) sweep.  Eager execution here costs hundreds of
+    sequential tunnel round trips (adaptive host loops call this every
+    step; the device-chunk driver once per chunk)."""
+
+    def eos_mean(x):
+        Ks = kernel_fn(params, X, x[None, :])
+        return (Ks.T @ alpha).squeeze()
+
+    dmean = vmap(grad(eos_mean))(Xtest)[:, 0]
+    return jnp.sqrt(dmean.max() * yscale / xscale0)
+
+
 class Pressure(GaussianProcessSurrogate):
     """Pressure model: analytic EOS or GP surrogate of the MD pressure."""
 
@@ -263,16 +279,10 @@ class Pressure(GaussianProcessSurrogate):
                 eos_sound_velocity(self.solution[0], self.prop))))
 
         self._ensure_conditioned()
-        params, X, cache = self.params, self._X_at_fit, self.cond_gp
-
-        def eos_mean(x):
-            _, alpha, _ = cache
-            Ks = kernel_fn(params, X, x[None, :])
-            return (Ks.T @ alpha).squeeze()
-
-        dmean = vmap(grad(eos_mean))(self.Xtest)[:, 0]
-        vsound_sq = dmean.max() * self.Yscale / self.database.X_scale[0]
-        return jnp.sqrt(vsound_sq)
+        _, alpha, _ = self.cond_gp
+        return _gp_vsound(self.params, self._X_at_fit, alpha, self.Xtest,
+                          jnp.asarray(self.Yscale),
+                          jnp.asarray(self.database.X_scale[0]))
 
     @property
     def Xtest(self):
