@@ -33,9 +33,17 @@ def _topo_from_deformation(h_undeformed, u, dx, dy):
 
 def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
                      deform_every=1, dtype=None, end_pressure=False,
-                     use_vmem_inner=None):
+                     use_vmem_inner=None, adaptive=False):
     """Fused FROZEN-GP x elastic loop: ``loop(q, u_prev, topo0, dt,
     step0, n_steps, gp_state) -> (q, u)``.
+
+    ``adaptive=True`` (requires ``deform_every=1``) carries dt in the
+    loop state and refreshes it per step from the CFL criterion with the
+    host-exact sequencing (reference GaPFlow/problem.py:435-440: step →
+    deform → ``dt = CFL * dmin / (v_max + v_sound)`` with v_sound
+    evaluated on the post-deformation topography; GP pressure takes the
+    autodiffed GP sound speed).  The loop then returns
+    ``(q, u, dt, simtime_inc)``.
 
     Composes the GP-closed MacCormack step (core.gp_step — auto-routing
     to the per-step Pallas GP kernel on covered TPU configurations) with
@@ -68,10 +76,14 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
     chunk.  ``use_vmem_inner=None`` auto-detects; True forces it (test
     hook, interpret mode), False keeps the per-step scan.
     """
-    from .gp_step import make_gp_step_core, make_gp_closures
+    from .gp_step import (make_gp_step_core, make_gp_closures,
+                          make_v_sound, cfl_dt)
 
     if not problem.topo.elastic:
         raise ValueError("problem has no elastic coupling")
+    if adaptive and deform_every != 1:
+        raise ValueError("adaptive dt requires deform_every=1 "
+                         "(host-exact per-step sequencing)")
 
     cfg = problem._solver_cfg
     ed = problem.topo.ElasticDeformation
@@ -85,6 +97,7 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
 
     step_core = make_gp_step_core(cfg, active_dims, num_features, use_gp)
     closures = make_gp_closures(cfg, active_dims, num_features, use_gp)
+    v_sound = make_v_sound(cfg, active_dims, num_features, use_gp)
 
     K = int(deform_every)
     alpha_K = 1. - (1. - alpha) ** K
@@ -119,6 +132,35 @@ def make_gp_ehl_loop(problem, active_dims, num_features, use_gp,
         topo0_d = jnp.asarray(topo0, dtype)
         dt = jnp.asarray(dt, dtype)
         inner_loop = _inner_kernel_loop(gp_state)
+
+        if adaptive:
+            def body_a(i, carry):
+                q, u, dt_c, t = carry
+                u_eff = (u - (u[0, 0] if shift_ref else 0.)).astype(dtype)
+                topo_r = _topo_from_deformation(h_und, u_eff,
+                                                cfg.dx, cfg.dy)
+                topo_d = jnp.where(i == 0, topo0_d, topo_r)
+                q, p = step_core(q, topo_d, extra_d, dt_c,
+                                 step0 + i, gp_state)
+                if end_pressure:
+                    p, _, _, _ = closures(q, topo_d, extra_d, gp_state)
+                if shift_ref:
+                    p = p - p[0, 0]
+                u_new = hs_deform(p.astype(u.dtype))
+                u = (1. - alpha_K) * u + alpha_K * u_new
+                # dt refresh AFTER the deformation, from the updated
+                # topography (host _post_update sequencing)
+                u_eff2 = (u - (u[0, 0] if shift_ref else 0.)).astype(dtype)
+                topo_n = _topo_from_deformation(h_und, u_eff2,
+                                                cfg.dx, cfg.dy)
+                c = v_sound(q, topo_n, extra_d, gp_state)
+                t = t + dt_c
+                dt_c = cfl_dt(cfg, q, c).astype(dtype)
+                return q, u, dt_c, t
+
+            return jax.lax.fori_loop(
+                0, n_steps, body_a,
+                (q, u, dt, jnp.zeros((), dtype)))
 
         def body(i, carry):
             q, u = carry

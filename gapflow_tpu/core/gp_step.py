@@ -102,7 +102,7 @@ def make_gp_closures(cfg, active_dims, num_features, use_gp):
 
 
 def make_gp_step_core(cfg, active_dims, num_features, use_gp,
-                      allow_pallas=True):
+                      allow_pallas=True, need_p=True):
     """Unjitted GP-closed timestep builder (shared with the AL loop).
 
     active_dims: (dims_z, dims_x, dims_y) tuples (None when that surrogate
@@ -115,7 +115,14 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp,
     ``Yscale_k``.  ``Xfit_k``/``alpha_k`` may be fixed-capacity padded
     buffers (gapflow_tpu.models.al_jit) — padded alpha rows are zero, so
     the means are exact without masking.
-    """
+
+    ``need_p=False`` declares the caller discards ``p_last`` (the
+    chunked-AL advance on non-elastic problems, the adaptive dt scan):
+    uniform-D/N domains — the reference's slider-family AL
+    configurations — then route through the q-only bc GP Pallas kernel
+    (ops.stencil_gp.make_pallas_gp_step_bc_fn, ~3x the XLA GP step)
+    instead of falling back to XLA, and ``p_last`` is a zeros
+    placeholder (dead code the compiler eliminates)."""
     closures = make_gp_closures(cfg, active_dims, num_features, use_gp)
 
     def one_pass(q, topo, extra, dt, d, gp_state):
@@ -144,6 +151,20 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp,
         return tuple(gp_state[f"Xfit_{k}"].shape[0] if u else 0
                      for k, u in zip(("z", "x", "y"), use_gp))
 
+    def _bc_route(q, gp_state):
+        """q-only bc GP kernel on uniform-D/N domains when the caller
+        discards p_last (GAPFLOW_FORCE_GP_BC_KERNEL=1 is the CPU
+        interpret-mode test hook)."""
+        import os
+        from ..ops.stencil_gp import gp_bc_kernel_supported
+        nx, ny = q.shape[1] - 2, q.shape[2] - 2
+        forced = os.environ.get("GAPFLOW_FORCE_GP_BC_KERNEL") == "1"
+        return (allow_pallas and not need_p
+                and (forced or (jax.default_backend() != "cpu"
+                                and q.dtype == jnp.float32))
+                and nx % 8 == 0
+                and gp_bc_kernel_supported(cfg, ny, active_dims, use_gp))
+
     def step(q, topo, extra, dt, step_idx, gp_state):
         if _pallas_route(q, gp_state):
             from ..ops.stencil_gp import make_pallas_gp_step_fn
@@ -151,6 +172,14 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp,
             kstep = make_pallas_gp_step_fn(cfg, active_dims, num_features,
                                            use_gp, nx, ny, _caps(gp_state))
             return kstep(q, topo, extra, dt, step_idx, gp_state)
+        if _bc_route(q, gp_state):
+            from ..ops.stencil_gp import make_pallas_gp_step_bc_fn
+            nx, ny = q.shape[1] - 2, q.shape[2] - 2
+            kstep = make_pallas_gp_step_bc_fn(cfg, active_dims,
+                                              num_features, use_gp,
+                                              nx, ny, _caps(gp_state),
+                                              dtype=q.dtype)
+            return kstep(q, topo, extra, dt, gp_state), jnp.zeros_like(q[0])
         q0 = q
 
         def passes(q, d0, d1):
@@ -176,3 +205,94 @@ def make_gp_step_core(cfg, active_dims, num_features, use_gp,
 def make_gp_step(cfg, active_dims, num_features, use_gp):
     """Jitted fused GP-closed timestep (see :func:`make_gp_step_core`)."""
     return jax.jit(make_gp_step_core(cfg, active_dims, num_features, use_gp))
+
+
+def make_v_sound(cfg, active_dims, num_features, use_gp):
+    """Device-side max sound speed, matching the host property
+    ``Pressure.v_sound`` (models/stress.py) formula for formula:
+
+    - deterministic pressure: ``max(eos_sound_velocity(rho))`` over the
+      ghost-inclusive grid;
+    - GP pressure: ``sqrt(max_x d mean/d rho_norm * Yscale / Xscale[0])``
+      with the gradient of the cached GP mean taken by autodiff over the
+      full-grid feature matrix (reference GaPFlow/models/stress.py
+      sound-speed protocol; host parity in tests/test_adaptive_device.py).
+
+    Returns ``v_sound(q, topo, extra, gp_state) -> scalar``.  Used by the
+    adaptive-dt device loops to refresh ``dt = CFL * dmin / (v_max + c)``
+    per step without host round trips.
+    """
+    from ..models.eos import eos_sound_velocity
+
+    dims_z = active_dims[0]
+    gpz = use_gp[0]
+
+    def v_sound(q, topo, extra, gp_state):
+        if not gpz:
+            return jnp.max(eos_sound_velocity(q[0], cfg.prop))
+
+        feats = _features(q, topo, extra)
+        Xf = (feats.reshape(num_features, -1).T
+              / gp_state["Xscale"][None, :])
+        Xtest = Xf[:, list(dims_z)]
+        params = gp_state["params_z"]
+        Xfit = gp_state["Xfit_z"]
+        alpha = gp_state["alpha_z"]
+
+        def mean_one(x):
+            Ks = kernel_fn(params, Xfit, x[None, :])
+            return (Ks.T @ alpha).squeeze()
+
+        dmean = jax.vmap(jax.grad(mean_one))(Xtest)[:, 0]
+        vs_sq = (jnp.max(dmean) * gp_state["Yscale_z"]
+                 / gp_state["Xscale"][0])
+        return jnp.sqrt(vs_sq)
+
+    return v_sound
+
+
+def cfl_dt(cfg, q, v_sound):
+    """Adaptive timestep: ``CFL * min(dx, dy) / (v_max + v_sound)``.
+
+    ``v_max = sqrt(max(j^2/rho))`` — the CFL convention the reference
+    defines the criterion with (GaPFlow problem.py v_max property), not
+    the physical velocity."""
+    v_max = jnp.sqrt(jnp.max((q[1] ** 2 + q[2] ** 2) / q[0]))
+    return cfg.CFL * jnp.minimum(cfg.dx, cfg.dy) / (v_max + v_sound)
+
+
+@lru_cache(maxsize=32)
+def make_gp_adaptive_loop(cfg, active_dims, num_features, use_gp,
+                          n_steps):
+    """Adaptive-dt frozen-GP device loop (non-elastic domains):
+    ``loop(q, topo, extra, dt, step0, gp_state) -> (q, dt, simtime)``.
+
+    Scans the fused GP-closed step (auto-routing to the per-step Pallas
+    GP kernel on covered configs — the per-step kernels take dt as a
+    traced operand, so kernel speed survives the dt carry) and refreshes
+    ``dt = CFL * dmin / (v_max + v_sound)`` after every step, the host
+    ``_post_update`` protocol (reference GaPFlow/problem.py:435-440).
+
+    ``n_steps`` is STATIC (cached per length): a traced bound lowers the
+    fori_loop to while_loop, and Mosaic kernels inside a while_loop wedge
+    the TPU compiler indefinitely (measured on hardware: the static-bound
+    program compiles in ~3 s, the dynamic-bound one never returns).
+    """
+    step_core = make_gp_step_core(cfg, active_dims, num_features, use_gp,
+                                  need_p=False)
+    v_sound = make_v_sound(cfg, active_dims, num_features, use_gp)
+
+    @jax.jit
+    def loop(q, topo, extra, dt, step0, gp_state):
+        def body(i, carry):
+            q, dt, t = carry
+            qn, _ = step_core(q, topo, extra, dt, step0 + i, gp_state)
+            c = v_sound(qn, topo, extra, gp_state)
+            t = t + dt
+            dt = cfl_dt(cfg, qn, c).astype(dt.dtype)
+            return qn, dt, t
+
+        return lax.fori_loop(0, n_steps, body,
+                             (q, dt, jnp.zeros((), dt.dtype)))
+
+    return loop

@@ -37,7 +37,7 @@ from .md import Mock, LennardJones, GoldAlkane
 from .models import Pressure, WallStress, BulkStress
 from .nc import NCWriter
 from .topography import Topography
-from .utils import handle_signals, get_termination_signals
+from .utils import handle_signals, get_termination_signals, set_quiet, echo
 
 
 class Problem:
@@ -54,6 +54,7 @@ class Problem:
             prop["bulk"] = 0.
 
         self.options = options
+        set_quiet(options.get("silent", False))
         self.grid = grid
         self.numerics = numerics
         self.geo = geo
@@ -284,13 +285,18 @@ class Problem:
             self._run_chunked(keep_open)
             return
 
-        # Silent fixed-dt MULTISCALE runs (GP surrogates and/or elastic):
-        # whole-run device paths — chunked host-protocol AL, frozen-GP
-        # fused loops, or the pass-2 EHL loop — with convergence checked
-        # at chunk granularity (the same trade the silent det route
-        # makes).  python -m gapflow_tpu on a GP/EHL config gets device
-        # speed without knowing the run_steps_* family.
-        if self.options["silent"] and not self.numerics["adaptive"]:
+        # Silent MULTISCALE runs (GP surrogates and/or elastic): whole-run
+        # device paths — chunked host-protocol AL, frozen-GP fused loops,
+        # or the pass-2 EHL loop — with convergence checked at chunk
+        # granularity (the same trade the silent det route makes).
+        # python -m gapflow_tpu on a GP/EHL config gets device speed
+        # without knowing the run_steps_* family.  Adaptive dt rides the
+        # device loop carry on the frozen-GP and EHL routes
+        # (tests/test_adaptive_device.py); chunked AL refreshes it at
+        # acquisition/chunk boundaries host-side, so the per-step host
+        # loop below remains the protocol-exact adaptive AL path.
+        if self.options["silent"] and not (self.numerics["adaptive"]
+                                           and self._route_uses_al()):
             self._tic = datetime.now()
             self._run_device_multiscale()
             if not keep_open:
@@ -339,6 +345,14 @@ class Problem:
         if not keep_open:
             self._post_run()
 
+    def _route_uses_al(self):
+        """True when any surrogate runs active learning (the chunked-AL
+        device route)."""
+        if not self.has_gp_model:
+            return False
+        from .core.al_loop import _surrogate_specs
+        return any(s.use_al for s in _surrogate_specs(self).values())
+
     def _run_device_multiscale(self):
         """Silent fixed-dt GP/elastic convergence run on device chunks.
 
@@ -353,9 +367,8 @@ class Problem:
         taken route is recorded in ``self._device_route``.
         """
         if self.has_gp_model:
-            from .core.al_loop import _surrogate_specs
-            use_al = any(s.use_al for s in _surrogate_specs(self).values())
-            self._device_route = "gp_chunked" if use_al else "gp_fast"
+            self._device_route = ("gp_chunked" if self._route_uses_al()
+                                  else "gp_fast")
         else:
             self._device_route = "ehl_pass2"
 
@@ -456,18 +469,18 @@ class Problem:
 
         speed = self.step / max(walltime.total_seconds(), 1e-12)
 
-        print(33 * "=")
-        print("Total walltime   : ", str(walltime).split(".")[0])
-        print(f"({speed:.2f} steps/s)")
+        echo(33 * "=")
+        echo("Total walltime   : ", str(walltime).split(".")[0])
+        echo(f"({speed:.2f} steps/s)")
 
         for model, tag in ((self.pressure, "zz"), (self.wall_stress_xz, "xz"),
                            (self.wall_stress_yz, "yz")):
             if model.is_gp_model:
-                print(f" - GP train ({tag}) : ",
-                      str(model.cumtime_train).split(".")[0])
-                print(f" - GP infer ({tag}) : ",
-                      str(model.cumtime_infer).split(".")[0])
-        print(33 * "=")
+                echo(f" - GP train ({tag}) : ",
+                     str(model.cumtime_train).split(".")[0])
+                echo(f" - GP infer ({tag}) : ",
+                     str(model.cumtime_infer).split(".")[0])
+        echo(33 * "=")
 
         if not self.options["silent"]:
             history_to_csv(os.path.join(self.outdir, "history.csv"),
@@ -823,7 +836,10 @@ class Problem:
         if self.step is None:
             self._pre_run()
         if self.numerics["adaptive"]:
-            raise RuntimeError("run_steps_ehl uses a fixed dt")
+            # the fast end-pressure kernels are fixed-dt; adaptive runs
+            # take the host-exact pass-2 device loop with the dt carry
+            self._run_steps_ehl_pass2(n)
+            return
 
         loop = make_ehl_loop(self, dtype=dtype, deform_every=deform_every)
         ed = self.topo.ElasticDeformation
@@ -842,9 +858,10 @@ class Problem:
         self.simtime += n * self.dt
 
     def _run_steps_ehl_pass2(self, n):
-        """Advance an ELASTIC deterministic problem ``n`` fixed-dt steps
-        with the HOST-exact pass-2 deformation protocol as one fused
-        device loop.
+        """Advance an ELASTIC deterministic problem ``n`` steps with the
+        HOST-exact pass-2 deformation protocol as one fused device loop
+        (adaptive numerics carry dt in the loop state and refresh it per
+        step from the CFL criterion, host-exactly).
 
         :meth:`run_steps_ehl` deforms from the end-of-step pressure
         (fixed-point equivalent, faster kernels); this path reproduces
@@ -860,21 +877,25 @@ class Problem:
         if not self.topo.elastic or self.has_gp_model:
             raise RuntimeError("_run_steps_ehl_pass2 covers deterministic "
                                "elastic problems")
-        if self.numerics["adaptive"]:
-            raise RuntimeError("_run_steps_ehl_pass2 uses a fixed dt")
 
+        adaptive = bool(self.numerics["adaptive"])
         dtype = jnp.asarray(self.q).dtype
         n_extra = int(np.asarray(
             self.fc.get_real_field("extra").p).shape[0])
         nf = 6 + n_extra
         gp_state = {"Xscale": jnp.ones((nf,), dtype)}
         loop = make_gp_ehl_loop(self, (None, None, None), nf,
-                                (False, False, False), dtype=dtype)
+                                (False, False, False), dtype=dtype,
+                                adaptive=adaptive)
         ed = self.topo.ElasticDeformation
-        q, u = loop(jnp.asarray(self.q, dtype), jnp.asarray(ed.u_prev),
-                    jnp.asarray(self.topo.full, dtype),
-                    jnp.asarray(self.dt, dtype),
-                    jnp.asarray(self.step, jnp.int32), n, gp_state)
+        out = loop(jnp.asarray(self.q, dtype), jnp.asarray(ed.u_prev),
+                   jnp.asarray(self.topo.full, dtype),
+                   jnp.asarray(self.dt, dtype),
+                   jnp.asarray(self.step, jnp.int32), n, gp_state)
+        if adaptive:
+            q, u, dt_new, t_inc = out
+        else:
+            q, u = out
         u = np.asarray(u)
 
         self.q[...] = np.asarray(q)
@@ -884,7 +905,11 @@ class Problem:
         self.topo.h = self.topo.h_undeformed + (u - shift)
         self._refresh_det_fields()
         self.step += n
-        self.simtime += n * self.dt
+        if adaptive:
+            self.simtime += float(t_inc)
+            self.dt = float(dt_new)
+        else:
+            self.simtime += n * self.dt
 
     def run_steps_gp_device(self, n, capacity=64, refit_steps=40):
         """EXPERIMENTAL: advance ``n`` fixed-dt GP-surrogate steps fully
@@ -974,7 +999,7 @@ class Problem:
 
     def run_steps_gp_fast(self, n, capacity=None, chunk=512,
                           use_vmem_loop=None, deform_every=1):
-        """Advance ``n`` fixed-dt GP-closed steps with FROZEN surrogates
+        """Advance ``n`` GP-closed steps with FROZEN surrogates
         as whole-run compiled loops — the temporal-blocked production
         path for the flagship multiscale mode.
 
@@ -1008,8 +1033,7 @@ class Problem:
             raise RuntimeError("run_steps_gp_fast requires GP surrogates")
         if self.step is None:
             self._pre_run()
-        if self.numerics["adaptive"]:
-            raise RuntimeError("run_steps_gp_fast uses a fixed dt")
+        adaptive = bool(self.numerics["adaptive"])
         gp_state, dims3, use3, caps3, nf, dtype, models = \
             self._frozen_gp_state(capacity)
         cfg = self._solver_cfg
@@ -1024,9 +1048,17 @@ class Problem:
             from .core.ehl import make_gp_ehl_loop
             ed = self.topo.ElasticDeformation
             loop = make_gp_ehl_loop(self, dims3, nf, use3,
-                                    deform_every=deform_every, dtype=dtype)
-            q, u = loop(q, jnp.asarray(ed.u_prev), topo, dt,
-                        jnp.asarray(self.step, jnp.int32), n, gp_state)
+                                    deform_every=(1 if adaptive
+                                                  else deform_every),
+                                    dtype=dtype, adaptive=adaptive)
+            out = loop(q, jnp.asarray(ed.u_prev), topo, dt,
+                       jnp.asarray(self.step, jnp.int32), n, gp_state)
+            t_inc = None
+            if adaptive:
+                q, u, dt_new, t_inc = out
+                self.dt = float(dt_new)
+            else:
+                q, u = out
             u = np.asarray(u)
             ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
             shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
@@ -1034,7 +1066,21 @@ class Problem:
             # h setter refreshes the gradients (host update() sequencing);
             # q syncs below, before the constitutive-field refresh
             self.topo.h = self.topo.h_undeformed + (u - shift)
-            self._sync_gp_fast_tail(q, n, models)
+            self._sync_gp_fast_tail(q, n, models, simtime_inc=t_inc)
+            return
+
+        if adaptive:
+            # dt rides the loop carry; the whole-run VMEM kernel is
+            # fixed-dt by construction, so adaptive runs scan the
+            # per-step path (Pallas per-step GP kernel where covered)
+            from .core.gp_step import make_gp_adaptive_loop
+            loop = make_gp_adaptive_loop(cfg, dims3, nf, use3, int(n))
+            q, dt_new, t_inc = loop(q, topo, extra, dt,
+                                    jnp.asarray(self.step, jnp.int32),
+                                    gp_state)
+            self.dt = float(dt_new)
+            self._sync_gp_fast_tail(q, n, models,
+                                    simtime_inc=float(t_inc))
             return
 
         kernel_ok = False
@@ -1105,28 +1151,31 @@ class Problem:
                 # uniform-D/N domains (the reference's slider GP
                 # configurations): scan the q-only bc GP kernel —
                 # ~3x the XLA GP step (which materializes the
-                # (cap x cells) kernel matrix in HBM each pass)
+                # (cap x cells) kernel matrix in HBM each pass).
+                # STATIC bound: a traced one lowers to while_loop, and
+                # Mosaic kernels inside while_loop wedge the TPU
+                # compiler (see core.gp_step.make_gp_adaptive_loop)
                 from .ops.stencil_gp import make_pallas_gp_step_bc_fn
                 kstep = make_pallas_gp_step_bc_fn(cfg, dims3, nf, use3,
                                                   nx, ny, caps3)
 
                 @_jax.jit
-                def scan_steps(q, dt, n_arr, gp_state):
+                def scan_steps(q, dt, gp_state):
                     def body(i, qq):
                         return kstep(qq, topo, extra, dt, gp_state)
-                    return _jax.lax.fori_loop(0, n_arr, body, q)
+                    return _jax.lax.fori_loop(0, n, body, q)
             else:
                 step_core = make_gp_step_core(cfg, dims3, nf, use3)
 
                 @_jax.jit
-                def scan_steps(q, dt, n_arr, gp_state):
+                def scan_steps(q, dt, gp_state):
                     def body(i, qq):
                         qn, _ = step_core(qq, topo, extra, dt,
                                           self.step + i, gp_state)
                         return qn
-                    return _jax.lax.fori_loop(0, n_arr, body, q)
+                    return _jax.lax.fori_loop(0, n, body, q)
 
-            q = scan_steps(q, dt, jnp.asarray(n, jnp.int32), gp_state)
+            q = scan_steps(q, dt, gp_state)
 
         self._sync_gp_fast_tail(q, n, models)
 
@@ -1175,11 +1224,14 @@ class Problem:
         caps3 = tuple(cap if u else 0 for u in use3)
         return gp_state, dims3, use3, caps3, db.num_features, dtype, models
 
-    def _sync_gp_fast_tail(self, q, n, models):
+    def _sync_gp_fast_tail(self, q, n, models, simtime_inc=None):
         """Host sync after a whole-run GP-closed loop: write q back and
         refresh the constitutive fields through the host predict path
         (cached dense conditioning) — bitwise the host trajectory's
-        final write, unlike re-deriving p from the padded device alpha."""
+        final write, unlike re-deriving p from the padded device alpha.
+
+        ``simtime_inc``: device-accumulated simulated-time increment
+        (adaptive-dt loops); defaults to the fixed-dt ``n * dt``."""
         self.q[...] = np.asarray(q)
         self.pressure.update(predictor=False, compute_var=False)
         self.wall_stress_xz.update(predictor=False, compute_var=False)
@@ -1189,7 +1241,8 @@ class Problem:
             if m.is_gp_model:
                 m._step += n
         self.step += n
-        self.simtime += n * self.dt
+        self.simtime += (n * self.dt if simtime_inc is None
+                         else float(simtime_inc))
 
     def _fast_run_eligible(self):
         """The chunked Pallas convergence run applies to float32 (x64 off)
@@ -1388,13 +1441,8 @@ class Problem:
 
         if any(s.use_al for s in _surrogate_specs(self).values()):
             # active learning: the host acquisition protocol with the
-            # SHARDED compiled advance (multi-chip chunked AL)
-            if self.topo.elastic:
-                raise RuntimeError(
-                    "sharded chunked AL does not yet compose with "
-                    "elastic problems; freeze the surrogates "
-                    "(active_learning: False) or run the serial "
-                    "chunked path")
+            # SHARDED compiled advance (multi-chip chunked AL; elastic
+            # problems compose — parallel.al._build_sharded_advance)
             return self.run_steps_gp_chunked(n, capacity=capacity,
                                              sharded_mesh=mesh)
 
