@@ -83,7 +83,10 @@ def _build_advance(cfg, specs_t, dims3, nfeat, use3, ncells, n_candidates,
     """
     specs = dict(specs_t)
     keys = list(specs)
-    step_core = make_gp_step_core(cfg, dims3, nfeat, use3)
+    # non-elastic advances discard p_last -> uniform-D/N domains (the
+    # reference's slider-family AL runs) take the q-only bc GP kernel
+    step_core = make_gp_step_core(cfg, dims3, nfeat, use3,
+                                  need_p=elastic_fns is not None)
     if elastic_fns is not None:
         from .ehl import _topo_from_deformation
         hs_deform, h_und, alpha_ur, shift_ref = elastic_fns
@@ -225,23 +228,28 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None,
                            for m in models.values())
 
     elastic = problem.topo.elastic
-    if sharded_mesh is not None and elastic:
-        raise NotImplementedError(
-            "sharded chunked AL does not yet compose with elastic "
-            "problems; run GP x elastic AL on the serial chunked path")
     if elastic:
         ed = problem.topo.ElasticDeformation
         shift_ref = ed.periodicity in ("half", "none")
+        elastic_fns = (ed.deformation_full,
+                       np.asarray(problem.topo.h_undeformed),
+                       float(ed.alpha_underrelax), shift_ref)
         key = (tuple(specs.items()), dims3, nfeat, use3, ncells,
-               int(n_candidates))
+               int(n_candidates), sharded_mesh)
         cache = getattr(problem, "_chunked_advance_cache", None)
         if cache is None or cache[0] != key:
-            advance = _build_advance(
-                cfg, tuple(specs.items()), dims3, nfeat, use3, ncells,
-                int(n_candidates),
-                (ed.deformation_full,
-                 np.asarray(problem.topo.h_undeformed),
-                 float(ed.alpha_underrelax), shift_ref))
+            if sharded_mesh is not None:
+                # multi-chip chunked AL x elastic: sharded fluid +
+                # pmax trigger + replicated-FFT deformation
+                # (parallel.al._build_sharded_advance)
+                from ..parallel.al import _build_sharded_advance
+                advance = _build_sharded_advance(
+                    cfg, tuple(specs.items()), dims3, nfeat, use3,
+                    sharded_mesh, elastic_fns)
+            else:
+                advance = _build_advance(
+                    cfg, tuple(specs.items()), dims3, nfeat, use3,
+                    ncells, int(n_candidates), elastic_fns)
             problem._chunked_advance_cache = (key, advance)
         else:
             advance = cache[1]
@@ -302,10 +310,16 @@ def run_gp_al_chunked(problem, n_steps, capacity=None, n_candidates=None,
             # the advance's i == 0 topography is the host field verbatim
             # (refreshed by _sync_state after the last exit)
             topo = jnp.asarray(problem.topo.full, dtype)
+            if sharded_mesh is not None:
+                from ..parallel.halo import pad_blocks
+                topo_b = jnp.asarray(
+                    pad_blocks(np.asarray(problem.topo.full),
+                               sharded_mesh.shape["x"],
+                               sharded_mesh.shape["y"]), dtype)
 
         if sharded_mesh is not None:
-            q, steps, needs, pauses = advance(
-                q, topo_b, extra_b, gps, pauses,
+            q, u, steps, needs, pauses = advance(
+                q, topo_b, extra_b, u, gps, pauses,
                 jnp.asarray(db.X_scale, dtype), Yscales,
                 jnp.asarray(problem.step + steps_done, jnp.int32), dt,
                 jnp.asarray(n_steps - steps_done, jnp.int32),

@@ -138,12 +138,15 @@ def _pad_with_halos(q, cfg, px, py):
     return q
 
 
-def _one_pass_local(cfg, q_pad, topo_pad, extra_pad, dt, d, closures=None):
+def _one_pass_local(cfg, q_pad, topo_pad, extra_pad, dt, d, closures=None,
+                    return_p=False):
     """One MacCormack pass on a halo-padded local block; returns interior.
 
     ``closures(q, topo, extra)`` defaults to the deterministic model;
     parallel.gp passes the GP-surrogate closures instead.
-    """
+    ``return_p=True`` additionally returns the pass pressure on the
+    halo-padded block (the pass-2 pressure drives the elastic
+    deformation in the sharded chunked-AL advance)."""
     if closures is None:
         p, tau_bulk, s_lo, s_up = det_closures(cfg, q_pad, topo_pad,
                                                extra_pad)
@@ -160,6 +163,8 @@ def _one_pass_local(cfg, q_pad, topo_pad, extra_pad, dt, d, closures=None):
     src = source(q_pad, topo_pad, tau_bulk, s_lo, s_up)
 
     q_new = q_pad - dt * (flux_x / cfg.dx + flux_y / cfg.dy - src)
+    if return_p:
+        return q_new[:, 1:-1, 1:-1], p
     return q_new[:, 1:-1, 1:-1]
 
 

@@ -431,3 +431,107 @@ db:
                                rtol=2e-5, atol=1e-7)
     scale = max(np.abs(np.asarray(u_ref)).max(), 1e-30)
     assert np.abs(np.asarray(u_k) - np.asarray(u_ref)).max() / scale < 1e-4
+
+
+def _sim_dn2d(tmp_path, tag, atol, al):
+    """Uniform-D/N 2D domain covered by the q-only bc GP kernel
+    (nx % 8 == 0, ny % 128 == 0, MC_order != 0)."""
+    return f"""
+options:
+    output: {tmp_path}/{tag}
+    write_freq: 1000
+    use_tstamp: False
+    silent: True
+grid:
+    Lx: 1470.
+    Ly: 1470.
+    Nx: 8
+    Ny: 128
+    xE: ['D', 'N', 'N']
+    xW: ['D', 'N', 'N']
+    xE_D: 0.8
+    xW_D: 0.8
+geometry:
+    type: parabolic
+    hmin: 12.
+    hmax: 60.
+    U: 0.12
+    V: 0.06
+numerics:
+    CFL: 0.5
+    adaptive: 0
+    tol: 1e-8
+    dt: 0.02
+    max_it: 5_000
+properties:
+    shear: 2.15
+    bulk: 0.
+    EOS: BWR
+    T: 1.0
+    rho0: 0.8
+gp:
+    press:
+        fix_noise: True
+        atol: {atol}
+        rtol: 0.
+        obs_stddev: 2.e-2
+        max_steps: 2
+        active_learning: {al}
+    shear:
+        fix_noise: True
+        atol: {atol}
+        rtol: 0.
+        obs_stddev: 4.e-3
+        max_steps: 2
+        active_learning: {al}
+db:
+    init_size: 4
+    init_method: lhc
+    dtool_path: {tmp_path}/train_{tag}
+"""
+
+
+def test_chunked_dn_routes_bc_kernel(tmp_path, monkeypatch):
+    """Chunked AL on a uniform-D/N domain (the reference's slider-family
+    AL workload) advances through the q-only bc GP Pallas kernel —
+    host-protocol parity in interpret mode: same acquisitions, same
+    database, same trajectory."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.core import al_chunked
+    from gapflow_tpu.core.gp_step import make_gp_step_core
+    from gapflow_tpu.ops.stencil_gp import gp_bc_kernel_supported
+
+    n = 4
+
+    p_host = Problem.from_string(_sim_dn2d(tmp_path, "dnhost", "1.e-3",
+                                           "True"))
+    p_host._pre_run()
+    assert gp_bc_kernel_supported(
+        p_host._solver_cfg, 128,
+        ((0, 3), (0, 1, 3), (0, 2, 3)), (True, True, True))
+    for _ in range(n):
+        p_host.update()
+
+    p_dev = Problem.from_string(_sim_dn2d(tmp_path, "dndev", "1.e-3",
+                                          "True"))
+    p_dev._pre_run()
+
+    monkeypatch.setenv("GAPFLOW_FORCE_GP_BC_KERNEL", "1")
+    al_chunked.make_advance_fn.cache_clear()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            p_dev.run_steps_gp_chunked(n)
+    finally:
+        al_chunked.make_advance_fn.cache_clear()
+
+    assert p_dev.step == p_host.step == n
+    assert p_dev.database.size == p_host.database.size
+    np.testing.assert_allclose(np.asarray(p_dev.database._Xtrain),
+                               np.asarray(p_host.database._Xtrain),
+                               rtol=1e-12)
+    # q to the bc kernel's established fp bound (different but
+    # equally-valid evaluation order; test_gp_pallas.py uses the same)
+    qr, qk = np.asarray(p_host.q), np.asarray(p_dev.q)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    assert np.max(np.abs(qk - qr) / sc) < 5e-5

@@ -253,3 +253,46 @@ def test_driver_sharded_gp_ehl_deform_every(tmp_path):
     assert np.all(np.isfinite(p.q))
     assert np.all(np.isfinite(np.asarray(
         p.topo.ElasticDeformation.u_prev)))
+
+
+@needs8
+def test_driver_sharded_al_elastic_matches_serial_chunked(tmp_path):
+    """Sharded chunked AL composes with ELASTIC problems (the flagship
+    asperity AL x EHL scenario over a mesh): same acquisitions, same
+    database, same deformation state as the serial chunked AL x elastic
+    advance, acquisition for acquisition."""
+    n = 6
+
+    def _al_sim(tag):
+        return _gp_sim(tmp_path, tag, elastic=True).replace(
+            "active_learning: False", "active_learning: True").replace(
+            "atol: 1.", "atol: 1.e-4").replace(
+            "obs_stddev: 100.", "obs_stddev: 1.e-3")
+
+    p_ser = Problem.from_string(_al_sim("aleser"))
+    p_ser._pre_run()
+    p_sh = Problem.from_string(_al_sim("alesh"))
+    p_sh._pre_run()
+    size0 = p_ser.database.size
+
+    n_acq_ser = p_ser.run_steps_gp_chunked(n)
+    mesh = grid_mesh(jax.devices()[:8], shape=(4, 2))
+    p_sh.run_steps_sharded(n, mesh=mesh)
+
+    assert p_sh.step == p_ser.step == n
+    assert p_sh.database.size == p_ser.database.size
+    if n_acq_ser:
+        assert p_sh.database.size > size0
+        np.testing.assert_allclose(np.asarray(p_sh.database._Xtrain),
+                                   np.asarray(p_ser.database._Xtrain),
+                                   rtol=1e-12)
+    assert p_sh.pressure._pause == p_ser.pressure._pause
+    assert (p_sh.wall_stress_xz._pause == p_ser.wall_stress_xz._pause)
+    np.testing.assert_allclose(p_sh.q, p_ser.q, rtol=1e-6, atol=1e-10)
+    u_ser = np.asarray(p_ser.topo.ElasticDeformation.u_prev)
+    u_sh = np.asarray(p_sh.topo.ElasticDeformation.u_prev)
+    scale = max(np.abs(u_ser).max(), 1e-30)
+    assert np.abs(u_sh - u_ser).max() / scale < 1e-6
+    np.testing.assert_allclose(np.asarray(p_sh.topo.full),
+                               np.asarray(p_ser.topo.full),
+                               rtol=1e-6, atol=1e-10)
