@@ -795,7 +795,10 @@ class Problem:
         if self.step is None:
             self._pre_run()
         if self.numerics["adaptive"]:
-            raise RuntimeError("run_steps_fast uses a fixed dt")
+            # the Pallas loop hoists dt; adaptive runs take the fused
+            # state scan (host-exact per-step dt refresh) instead
+            self.run_steps(n)
+            return
 
         ny = self.grid["Ny"]
         if not (pallas_supported(self._solver_cfg, ny)
@@ -990,8 +993,18 @@ class Problem:
             raise RuntimeError("run_steps_gp_chunked requires GP surrogates")
         if self.step is None:
             self._pre_run()
+        if not self._route_uses_al() and sharded_mesh is None:
+            # frozen surrogates: the acquisition machinery would never
+            # fire — delegate to the whole-run fused loops (the same
+            # routing run() applies).  An explicit sharded_mesh keeps
+            # the (sharded) chunked advance.
+            self.run_steps_gp_fast(n, capacity=capacity)
+            return 0
         if self.numerics["adaptive"]:
-            raise RuntimeError("run_steps_gp_chunked uses a fixed dt")
+            raise RuntimeError(
+                "adaptive dt with active learning runs the per-step host "
+                "protocol loop (plain run() routes it there); the chunked "
+                "advance carries a fixed dt between acquisitions")
 
         return run_gp_al_chunked(self, n, capacity=capacity,
                                  n_candidates=n_candidates,

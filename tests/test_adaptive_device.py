@@ -205,3 +205,26 @@ def test_adaptive_al_routes_to_host_loop(tmp_path):
     assert not hasattr(p, "_device_route")
     assert p.step == 3
     assert np.all(np.isfinite(np.asarray(p.q)))
+
+
+def test_adaptive_run_steps_fast_delegates(tmp_path):
+    """run_steps_fast on an adaptive problem no longer raises: it takes
+    the fused state scan with the per-step dt refresh (host-exact)."""
+    det = _det_elastic_sim(tmp_path, "dfhost").replace("""
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-03""", "")
+    n = 4
+
+    p_host = Problem.from_string(det)
+    p_host._pre_run()
+    for _ in range(n):
+        p_host.update()
+
+    p = Problem.from_string(det.replace("/dfhost", "/dfdev"))
+    p._pre_run()
+    p.run_steps_fast(n)
+    assert p.step == n
+    np.testing.assert_allclose(p.q, p_host.q, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(p.dt, p_host.dt, rtol=1e-10)
