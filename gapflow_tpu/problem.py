@@ -1398,6 +1398,24 @@ class Problem:
         cfg = self._solver_cfg
         nx, ny = self.grid["Nx"], self.grid["Ny"]
         px, py = mesh.shape["x"], mesh.shape["y"]
+
+        if self.numerics["adaptive"]:
+            # deterministic adaptive: the full SimState step with the
+            # global CFL reduction per step (ownership-weighted pmax) —
+            # the fixed-dt kernel loops would silently freeze dt
+            from .parallel import (make_sharded_state_trajectory,
+                                   shard_problem_state)
+            state = shard_problem_state(self, mesh)
+            out = make_sharded_state_trajectory(cfg, mesh, n)(state)
+            self.q[:, 1:-1, 1:-1] = np.asarray(out.q)
+            self._communicate_ghost_buffers()
+            self.step = int(out.step)
+            self.simtime = float(out.simtime)
+            self.dt = float(out.dt)
+            self.residual = float(out.residual)
+            self.kinetic_energy_old = float(out.ekin_old)
+            return out.q
+
         if use_pallas is None:
             from .ops.stencil import _edges_uniform
             use_pallas = (not _jax.config.jax_enable_x64

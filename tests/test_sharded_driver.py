@@ -296,3 +296,34 @@ def test_driver_sharded_al_elastic_matches_serial_chunked(tmp_path):
     np.testing.assert_allclose(np.asarray(p_sh.topo.full),
                                np.asarray(p_ser.topo.full),
                                rtol=1e-6, atol=1e-10)
+
+
+@needs8
+def test_driver_sharded_det_adaptive_matches_host():
+    """Deterministic ADAPTIVE problems through run_steps_sharded take the
+    SimState trajectory (per-step global CFL reduction) — dt would
+    silently freeze on the fixed-dt kernel loops.  Equality against the
+    host per-step loop."""
+    n = 6
+    sim_ad = _det_elastic.replace("""
+    elastic:
+        E: 5e09
+        v: 0.3
+        alpha_underrelax: 1e-04""", "").replace("adaptive: 0",
+                                                "adaptive: 1")
+    assert "elastic" not in sim_ad
+
+    p_host = Problem.from_string(sim_ad)
+    p_host._pre_run()
+    for _ in range(n):
+        p_host.update()
+
+    p_sh = Problem.from_string(sim_ad)
+    p_sh._pre_run()
+    mesh = grid_mesh(jax.devices()[:8], shape=(4, 2))
+    p_sh.run_steps_sharded(n, mesh=mesh)
+
+    assert p_sh.step == p_host.step == n
+    np.testing.assert_allclose(p_sh.q, p_host.q, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(p_sh.dt, p_host.dt, rtol=1e-10)
+    np.testing.assert_allclose(p_sh.simtime, p_host.simtime, rtol=1e-10)
