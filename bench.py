@@ -186,11 +186,12 @@ properties:
     return nx * ny / per_step
 
 
-def bench_gp_closed(nx=1024, ny=1024, cap=64, n_steps=200):
+def bench_gp_closed(nx=1024, ny=1024, cap=64, n_steps=200, fast=False):
     """GP-closed production throughput: whole-run-in-VMEM GP loop kernel
     with three surrogates at padded capacity ``cap`` (synthetic
     well-conditioned state; the padded buffers are FULL, so every train
-    point is computed — no tile skipping)."""
+    point is computed — no tile skipping).  ``fast=True`` measures the
+    opt-in bf16-accumulation predict mode (numerics: gp_fast_pred)."""
     import jax
     import jax.numpy as jnp
     from gapflow_tpu import Problem
@@ -220,6 +221,7 @@ numerics:
     tol: 1e-30
     dt: 5e-11
     max_it: 1000000
+    gp_fast_pred: {int(fast)}
 properties:
     shear: 0.0794
     bulk: 0.
@@ -730,7 +732,9 @@ _COSTS_PATH = os.path.join("data", "bench_costs.json")
 # repeat runs far cheaper than these)
 _EST = {
     "init": 120, "fv_1024": 60, "ici": 2, "gp_refit": 45, "gp_sol": 30,
-    "gp_closed_cap64": 90, "correctness": 120, "gp_closed_cap1024": 60,
+    "gp_closed_cap64": 90, "gp_closed_cap64_fast": 60,
+    "correctness": 120, "gp_closed_cap1024": 60,
+    "gp_closed_cap1024_fast": 60,
     "ehl_1024": 90, "gp_ehl_1024": 90, "gp_closed_dn": 60,
     "ehl_4096": 120, "sharded_local": 60, "gp_al_e2e": 90,
     "fv_2048": 45, "ehl_1024_ghost": 60,
@@ -877,6 +881,14 @@ def main():
         result["gp_closed_1024_cap1024_cu_s"] = float(
             bench_gp_closed(cap=1024, n_steps=24))
 
+    def _gp64_fast():
+        result["gp_closed_1024_cap64_fast_cu_s"] = float(
+            bench_gp_closed(cap=64, fast=True))
+
+    def _gp1024_fast():
+        result["gp_closed_1024_cap1024_fast_cu_s"] = float(
+            bench_gp_closed(cap=1024, n_steps=24, fast=True))
+
     def _gp_dn():
         result["gp_closed_dn_1024_cap64_cu_s"] = float(
             bench_gp_closed_dn())
@@ -957,8 +969,10 @@ def main():
     stage("gp_refit", _refit)
     stage("gp_sol", _gp_sol)
     stage("gp_closed_cap64", _gp64)
+    stage("gp_closed_cap64_fast", _gp64_fast)
     stage("correctness", _correct)
     stage("gp_closed_cap1024", _gp1024)
+    stage("gp_closed_cap1024_fast", _gp1024_fast)
     stage("ehl_1024", _ehl1024)
     stage("gp_ehl_1024", _gp_ehl)
     stage("gp_closed_dn", _gp_dn)

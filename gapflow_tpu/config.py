@@ -330,6 +330,7 @@ def sanitize_numerics(d):
         "adaptive": bool(d.get("adaptive", False)),
         "CFL": float(d.get("CFL", 0.5)),
         "MC_order": int(d.get("MC_order", 1)),
+        "gp_fast_pred": bool(d.get("gp_fast_pred", False)),
     }
     print_dict(out)
     return out

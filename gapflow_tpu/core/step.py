@@ -49,6 +49,15 @@ class SolverConfig:
     MC_order: int = 1
     adaptive: bool = False
     CFL: float = 0.5
+    # opt-in approximate GP prediction (numerics: gp_fast_pred): the
+    # fused GP kernels' accumulation matmul drops from 6-pass HIGHEST
+    # f32 to one bf16 MXU pass.  Measured on hardware: 1.43x faster
+    # GP-closed steps (cap64 3.26e8 -> 4.66e8 cu/s = 78% of the VPU
+    # speed-of-light; cap1024 2.35e7 -> 3.37e7 = 90%) at ~8e-3 relative
+    # on the predicted means / ~3e-4 scaled on q per step — below
+    # typical GP surrogate fit error (obs_stddev ~1e-3..1e-2).
+    # Default False = f32-exact (kernel parity 1.7e-7).
+    gp_fast_pred: bool = False
     # BC masks: per-edge tuples of 3 bools; D values are scalars
     bc: Tuple = ()
 
@@ -76,7 +85,9 @@ class SolverConfig:
             shear=prop["shear"], bulk=prop["bulk"], eos=eos,
             piezo=piezo, thinning=thinning,
             MC_order=numerics["MC_order"], adaptive=bool(numerics["adaptive"]),
-            CFL=numerics["CFL"], bc=tuple(bc),
+            CFL=numerics["CFL"],
+            gp_fast_pred=bool(numerics.get("gp_fast_pred", False)),
+            bc=tuple(bc),
         )
 
     # -- dict views ---------------------------------------------------------

@@ -104,7 +104,8 @@ def _gp_mean(feats, dims, coef, Wm2, w2, alpha, n_out):
     return acc
 
 
-def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):  # noqa: C901
+def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt,
+                fast=False):  # noqa: C901
     """Capacity-tiled MXU evaluation of ALL active surrogate means.
 
     The three surrogates' contractions are batched into one MXU-shaped
@@ -178,9 +179,13 @@ def _gp_all_mxu(feats, du, Waug_ref, Aaug_ref, out_ref, mt):  # noqa: C901
                 arg = jnp.sqrt(jnp.maximum(arg2, 3e-14))
                 e = jnp.exp(-arg)
                 km = e + arg * e
+                # fast mode: one bf16 MXU pass (~2e-3 relative on the
+                # means, documented opt-in); exact mode: HIGHEST f32
+                # (6-pass) accumulation — kernel parity at f32 rounding
                 acc = acc + jnp.dot(Aaug_ref[:, pl.ds(t * mt, mt)], km,
                                     preferred_element_type=dt_,
-                                    precision=lax.Precision.HIGHEST)
+                                    precision=(None if fast and f32_split
+                                               else lax.Precision.HIGHEST))
             accs.append(acc)
         out_ref[:8, pl.ds(r0, 8), :] = jnp.stack(accs, axis=1)
         return carry
@@ -201,7 +206,8 @@ def _one_pass_gp(cfg, gpspec, q0, q1, q2, st, dt, d, gp_ops):
 
     if mxu:
         Waug, Aaug, gp_out, du, mt = gp_ops
-        _gp_all_mxu(feats, du, Waug, Aaug, gp_out, mt)
+        _gp_all_mxu(feats, du, Waug, Aaug, gp_out, mt,
+                    fast=gpspec.get("fast", False))
 
     if gpz:
         if mxu:
@@ -461,7 +467,8 @@ def make_gp_call(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
     rows = bs + 2 * HALO_X
     d0, d1 = mc_directions(cfg.MC_order)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    gpspec = {"dims": active_dims, "use": use_gp}
+    gpspec = {"dims": active_dims, "use": use_gp,
+              "fast": bool(getattr(cfg, "gp_fast_pred", False))}
     n_models = sum(use_gp)
     scratch = [pltpu.VMEM((3, rows, ny), dtype),
                pltpu.VMEM((N_STATIC, rows, ny), dtype)]
@@ -641,7 +648,8 @@ def make_gp_call_bc(cfg, active_dims, use_gp, caps, nx, ny, bs=None,
     rows = bs + 2 * HALO_X
     d0, d1 = mc_directions(cfg.MC_order)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    gpspec = {"dims": active_dims, "use": use_gp}
+    gpspec = {"dims": active_dims, "use": use_gp,
+              "fast": bool(getattr(cfg, "gp_fast_pred", False))}
     n_models = sum(use_gp)
     scratch = [pltpu.VMEM((3, rows, W), dtype),
                pltpu.VMEM((N_STATIC, rows, W), dtype)]
@@ -874,7 +882,8 @@ def make_pallas_gp_loop_fn(cfg, active_dims, num_features, use_gp,
     rows = bs + 2 * HALO_X
     d0, d1 = mc_directions(cfg.MC_order)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    gpspec = {"dims": active_dims, "use": use_gp}
+    gpspec = {"dims": active_dims, "use": use_gp,
+              "fast": bool(getattr(cfg, "gp_fast_pred", False))}
     n_models = sum(use_gp)
     ext_shape = (3, nx + 2 * HALO_X, ny)
     scratch = [pltpu.VMEM(ext_shape, dtype),
@@ -1050,7 +1059,8 @@ def make_pallas_gp_loop_hbm(cfg, active_dims, num_features, use_gp,
     rows = bs + 2 * HALO_X
     d0, d1 = mc_directions(cfg.MC_order)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    gpspec = {"dims": active_dims, "use": use_gp}
+    gpspec = {"dims": active_dims, "use": use_gp,
+              "fast": bool(getattr(cfg, "gp_fast_pred", False))}
     n_models = sum(use_gp)
     ext_shape = (3, nx + 2 * HALO_X, ny)
     n_sweeps = n_steps // K_MULTI

@@ -290,3 +290,51 @@ def test_gp_pallas_bc_step_matches_xla(with_shear, cap, tmp_path):
     sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
     sc = np.maximum(sc, 1e-6 * sc.max())
     assert np.max(np.abs(qk - qr) / sc) < 5e-5
+
+
+def test_gp_fast_pred_config_plumbs_and_matches(tmp_path):
+    """``numerics: gp_fast_pred: 1`` reaches the SolverConfig and the
+    fused GP kernel still matches the XLA step in interpret mode (CPU
+    f32 dots are exact regardless of the MXU precision request; the
+    ~2e-3 hardware error of the bf16 accumulation pass is measured and
+    documented in doc/status.md)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from gapflow_tpu.ops.stencil_gp import make_pallas_gp_step_fn
+
+    sim_fast = SIM.replace("numerics:", "numerics:\n    gp_fast_pred: 1")
+    with contextlib.redirect_stdout(io.StringIO()):
+        problem = Problem.from_string(
+            sim_fast.format(shear_gp=SHEAR_GP, tmp=tmp_path))
+        problem._pre_run()
+    cfg = problem._solver_cfg
+    assert cfg.gp_fast_pred is True
+
+    dims = tuple(tuple(m.active_dims) if m.is_gp_model else None
+                 for m in (problem.pressure, problem.wall_stress_xz,
+                           problem.wall_stress_yz))
+    use = tuple(m.is_gp_model for m in (problem.pressure,
+                                        problem.wall_stress_xz,
+                                        problem.wall_stress_yz))
+    rng = np.random.default_rng(0)
+    gp_state = synthetic_state(dims, use, 96, rng)   # MXU mode
+
+    q = np.asarray(problem.q, np.float32)
+    q[0] *= 1 + 1e-3 * rng.standard_normal(q[0].shape)
+    q = jnp.asarray(np.asarray(apply_bcs(jnp.asarray(q), cfg), np.float32))
+    topo = jnp.asarray(problem.topo.full, jnp.float32)
+    extra = jnp.asarray(problem.fc.get_real_field("extra").p, jnp.float32)
+    dt = jnp.float32(problem.dt)
+    nf = problem.database.num_features
+
+    ref = make_gp_step_core(cfg, dims, nf, use, allow_pallas=False)
+    qr, _ = ref(q, topo, extra, dt, 0, gp_state)
+
+    caps = tuple(96 if u else 0 for u in use)
+    with pltpu.force_tpu_interpret_mode():
+        kstep = make_pallas_gp_step_fn(cfg, dims, nf, use, 32, 128, caps)
+        qk, _ = kstep(q, topo, extra, dt, 0, gp_state)
+
+    qr, qk = np.asarray(qr), np.asarray(qk)
+    sc = np.abs(qr).reshape(3, -1).max(1)[:, None, None]
+    sc = np.maximum(sc, 1e-6 * sc.max())
+    assert np.max(np.abs(qk - qr) / sc) < 5e-5
