@@ -960,7 +960,8 @@ def main():
         # failure mode).
         from gapflow_tpu.validate import correctness_block
         result["correctness"] = correctness_block(
-            deadline=time.monotonic() + max(60., 0.6 * remaining()))
+            deadline=time.monotonic()
+            + min(300., max(60., 0.6 * remaining())))
 
     # priority order: headline + the verdict-required metric set first,
     # nice-to-have stages last (they are the ones a tight window skips)
