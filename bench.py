@@ -744,7 +744,7 @@ _EST = {
 def main():
     fv_target = 1e9
     gp_target = 5e-3
-    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1100"))
     t_start = time.monotonic()
 
     # --- rule 1: JSON-only driver stream -------------------------------
@@ -829,7 +829,7 @@ def main():
     # init must not starve the stages when the driver window is large.
     # Extending past the window is safe: `timeout`'s SIGTERM lands in
     # Python-land now, and the handler flushes cumulative JSON + exit 0.
-    stage_budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "500"))
+    stage_budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "900"))
     deadline = max(deadline, time.monotonic() + stage_budget)
     emit()
 
@@ -959,9 +959,11 @@ def main():
         # own deadline instead of blowing the global one (round 4's
         # failure mode).
         from gapflow_tpu.validate import correctness_block
-        result["correctness"] = correctness_block(
+        result["correctness"] = {}
+        correctness_block(
             deadline=time.monotonic()
-            + min(300., max(60., 0.6 * remaining())))
+            + min(300., max(60., 0.6 * remaining())),
+            out=result["correctness"])
 
     # priority order: headline + the verdict-required metric set first,
     # nice-to-have stages last (they are the ones a tight window skips)

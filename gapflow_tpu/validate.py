@@ -424,7 +424,7 @@ def gp_loop_parity(cap=96, n=3):
     return {"q_scaled_maxerr": q_err, "ok": bool(q_err < 5e-5)}
 
 
-def correctness_block(sommerfeld_steps=20000, deadline=None):
+def correctness_block(sommerfeld_steps=20000, deadline=None, out=None):
     """Run the checks; returns a dict for the bench JSON line.
 
     ``ok`` is False on any regression — bench.py exits nonzero on it.
@@ -432,7 +432,10 @@ def correctness_block(sommerfeld_steps=20000, deadline=None):
     passes are recorded in ``skipped`` instead of running — the bench's
     global budget must not die inside this block (round 4 did).  Checks
     run highest-priority first; per-check durations land in ``check_s``
-    so cost regressions are driver-visible.
+    so cost regressions are driver-visible.  Pass ``out`` (a dict
+    already referenced by the bench result) to make every finished
+    check immediately visible to the SIGTERM flush — a driver-window
+    kill mid-block then still records the completed checks.
     """
     import time as _time
 
@@ -457,19 +460,19 @@ def correctness_block(sommerfeld_steps=20000, deadline=None):
         "pallas_thinning_vs_xla_max_scaled_err": lambda v: v < 1e-4,
     }
 
-    out = {"check_s": {}, "skipped": []}
-    ok = True
+    out = {} if out is None else out
+    out.update({"check_s": {}, "skipped": [], "ok": True})
     for name, fn in checks:
         if deadline is not None and _time.monotonic() > deadline:
             out["skipped"].append(name)
             continue
         t0 = _time.monotonic()
-        out[name] = fn()
+        res = fn()
+        out[name] = res
         out["check_s"][name] = round(_time.monotonic() - t0, 1)
-        passed = (thresholds[name](out[name]) if name in thresholds
-                  else bool(out[name]["ok"]))
-        ok = ok and passed
-    out["ok"] = bool(ok)
+        passed = (thresholds[name](res) if name in thresholds
+                  else bool(res["ok"]))
+        out["ok"] = bool(out["ok"] and passed)
     if not out["skipped"]:
         del out["skipped"]
     return out
