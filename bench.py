@@ -744,7 +744,7 @@ _EST = {
 def main():
     fv_target = 1e9
     gp_target = 5e-3
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.monotonic()
 
     # --- rule 1: JSON-only driver stream -------------------------------
@@ -829,7 +829,7 @@ def main():
     # init must not starve the stages when the driver window is large.
     # Extending past the window is safe: `timeout`'s SIGTERM lands in
     # Python-land now, and the handler flushes cumulative JSON + exit 0.
-    stage_budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "900"))
+    stage_budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "1300"))
     deadline = max(deadline, time.monotonic() + stage_budget)
     emit()
 
@@ -962,25 +962,29 @@ def main():
         result["correctness"] = {}
         correctness_block(
             deadline=time.monotonic()
-            + min(300., max(60., 0.6 * remaining())),
+            + min(240., max(60., 0.4 * remaining())),
             out=result["correctness"])
 
     # priority order: headline + the verdict-required metric set first,
     # nice-to-have stages last (they are the ones a tight window skips)
+    # every VERDICT-required throughput metric runs BEFORE the
+    # (compile-heavy, internally-capped) correctness block; the axon
+    # backend re-pays every kernel compile each run, so ordering IS the
+    # budget allocation
     stage("fv_1024", _fv1024)
     stage("ici", _ici)
     stage("gp_refit", _refit)
     stage("gp_sol", _gp_sol)
     stage("gp_closed_cap64", _gp64)
     stage("gp_closed_cap64_fast", _gp64_fast)
+    stage("ehl_1024", _ehl1024)
+    stage("gp_ehl_1024", _gp_ehl)
+    stage("sharded_local", _shard)
+    stage("gp_closed_dn", _gp_dn)
     stage("correctness", _correct)
     stage("gp_closed_cap1024", _gp1024)
     stage("gp_closed_cap1024_fast", _gp1024_fast)
-    stage("ehl_1024", _ehl1024)
-    stage("gp_ehl_1024", _gp_ehl)
-    stage("gp_closed_dn", _gp_dn)
     stage("ehl_4096", _ehl4096)
-    stage("sharded_local", _shard)
     stage("gp_al_e2e", _al_e2e)
     stage("fv_2048", _fv2048)
     stage("ehl_1024_ghost", _ehl1024g)
