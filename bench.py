@@ -1000,6 +1000,11 @@ def main():
         result["gp_closed_cap1024_sol_fraction"] = float(
             result["gp_closed_1024_cap1024_cu_s"]
             / result["gp_sol_1024_cap1024_cu_s"])
+    for cap in ("cap64", "cap1024"):
+        fast = result.get(f"gp_closed_1024_{cap}_fast_cu_s")
+        sol = result.get(f"gp_sol_1024_{cap}_cu_s")
+        if fast and sol:
+            result[f"gp_closed_{cap}_fast_sol_fraction"] = float(fast / sol)
 
     state["done"] = True
     try:
