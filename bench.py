@@ -960,10 +960,31 @@ def main():
         # failure mode).
         from gapflow_tpu.validate import correctness_block
         result["correctness"] = {}
+        try:
+            with open(_COSTS_PATH) as fh:
+                est = {k[5:]: 1.2 * v for k, v in json.load(fh).items()
+                       if k.startswith("corr_")}
+        except Exception:
+            est = {}
+        # conservative first-run estimates for the compile-heavy checks
+        est.setdefault("gp_kernel", 170)
+        est.setdefault("al_chunked", 250)
         correctness_block(
             deadline=time.monotonic()
-            + min(240., max(60., 0.4 * remaining())),
-            out=result["correctness"])
+            + min(300., max(60., 0.4 * remaining())),
+            out=result["correctness"], est=est)
+        try:
+            with open(_COSTS_PATH) as fh:
+                costs = json.load(fh)
+        except Exception:
+            costs = {}
+        costs.update({f"corr_{k}": v for k, v in
+                      result["correctness"].get("check_s", {}).items()})
+        try:
+            with open(_COSTS_PATH, "w") as fh:
+                json.dump(costs, fh)
+        except Exception:
+            pass
 
     # priority order: headline + the verdict-required metric set first,
     # nice-to-have stages last (they are the ones a tight window skips)

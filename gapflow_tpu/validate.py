@@ -424,7 +424,8 @@ def gp_loop_parity(cap=96, n=3):
     return {"q_scaled_maxerr": q_err, "ok": bool(q_err < 5e-5)}
 
 
-def correctness_block(sommerfeld_steps=20000, deadline=None, out=None):
+def correctness_block(sommerfeld_steps=20000, deadline=None, out=None,
+                      est=None):
     """Run the checks; returns a dict for the bench JSON line.
 
     ``ok`` is False on any regression — bench.py exits nonzero on it.
@@ -435,7 +436,12 @@ def correctness_block(sommerfeld_steps=20000, deadline=None, out=None):
     so cost regressions are driver-visible.  Pass ``out`` (a dict
     already referenced by the bench result) to make every finished
     check immediately visible to the SIGTERM flush — a driver-window
-    kill mid-block then still records the completed checks.
+    kill mid-block then still records the completed checks.  ``est``
+    maps check names to expected seconds (bench persists measured
+    values): a check whose estimate does not fit before the deadline is
+    skipped up front instead of overrunning it in flight (al_chunked
+    measured 166-358 s; an in-flight overrun starves later bench
+    stages).
     """
     import time as _time
 
@@ -461,9 +467,11 @@ def correctness_block(sommerfeld_steps=20000, deadline=None, out=None):
     }
 
     out = {} if out is None else out
+    est = est or {}
     out.update({"check_s": {}, "skipped": [], "ok": True})
     for name, fn in checks:
-        if deadline is not None and _time.monotonic() > deadline:
+        if deadline is not None and (_time.monotonic()
+                                     + est.get(name, 0.) > deadline):
             out["skipped"].append(name)
             continue
         t0 = _time.monotonic()
