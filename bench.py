@@ -736,7 +736,7 @@ _EST = {
     "correctness": 120, "gp_closed_cap1024": 60,
     "gp_closed_cap1024_fast": 60,
     "ehl_1024": 90, "gp_ehl_1024": 90, "gp_closed_dn": 60,
-    "ehl_4096": 120, "sharded_local": 60, "gp_al_e2e": 90,
+    "ehl_4096": 120, "sharded_local": 60, "gp_al_e2e": 400,
     "fv_2048": 45, "ehl_1024_ghost": 60,
 }
 
@@ -1006,9 +1006,9 @@ def main():
     stage("gp_closed_cap1024", _gp1024)
     stage("gp_closed_cap1024_fast", _gp1024_fast)
     stage("ehl_4096", _ehl4096)
-    stage("gp_al_e2e", _al_e2e)
     stage("fv_2048", _fv2048)
     stage("ehl_1024_ghost", _ehl1024g)
+    stage("gp_al_e2e", _al_e2e)
 
     # recompute SoL fractions in case gp_sol ran before gp_closed stages
     if result.get("gp_sol_1024_cap64_cu_s") and \
