@@ -47,9 +47,17 @@ from .halo import make_sharded_det_step, pad_blocks, pad_blocks_jnp
 
 def make_sharded_gp_ehl_loop(problem, mesh, active_dims, num_features,
                              use_gp, caps, deform_every=1,
-                             use_pallas=None):
+                             use_pallas=None, adaptive=False):
     """Sharded FROZEN-GP x elastic loop: ``loop(q, u_prev, topo0, dt,
     n_steps, gp_state) -> (q, u)``.
+
+    ``adaptive=True`` (requires ``deform_every=1``) carries dt in the
+    loop state and refreshes it per step AFTER the deformation from the
+    rebuilt topography (the host ``_post_update`` sequencing; same dt
+    protocol as the serial ``core.ehl.make_gp_ehl_loop`` adaptive mode)
+    via the pmax-reduced per-shard sound speed
+    (parallel.gp.make_sharded_cfl_fn).  Returns
+    ``(q, u, dt, simtime_inc)`` instead.
 
     The flagship multiscale EHL mode over a device mesh, closing the
     composition gap (GP x elastic x sharding): GP-closed fluid steps run
@@ -86,10 +94,12 @@ def make_sharded_gp_ehl_loop(problem, mesh, active_dims, num_features,
     from jax import shard_map
     from ..core.gp_step import make_gp_closures
     from ..ops.stencil import _fully_periodic
-    from .gp import make_sharded_gp_step
+    from .gp import make_sharded_gp_step, make_sharded_cfl_fn
 
     if not problem.topo.elastic:
         raise ValueError("problem has no elastic coupling")
+    if adaptive and deform_every != 1:
+        raise ValueError("adaptive dt requires deform_every=1")
 
     cfg = problem._solver_cfg
     ed = problem.topo.ElasticDeformation
@@ -151,7 +161,12 @@ def make_sharded_gp_ehl_loop(problem, mesh, active_dims, num_features,
     else:
         step = make_sharded_gp_step(cfg, active_dims, num_features,
                                     use_gp, mesh)
-        extra_b_host = pad_blocks(extra_full_host, px, py)
+    # 1-cell pad_blocks layout: the non-pallas fluid step, and the
+    # adaptive CFL refresh in either branch
+    extra_b_host = pad_blocks(extra_full_host, px, py)
+    if adaptive:
+        cfl_fn = make_sharded_cfl_fn(cfg, active_dims, num_features,
+                                     use_gp, mesh)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def loop(q, u_prev, topo0, dt, n_steps, gp_state):
@@ -163,12 +178,11 @@ def make_sharded_gp_ehl_loop(problem, mesh, active_dims, num_features,
         if use_pallas:
             extra2 = lax.with_sharding_constraint(
                 jnp.asarray(extra2_host, q.dtype), blk)
-        else:
+        if not use_pallas or adaptive:
             extra_b = lax.with_sharding_constraint(
                 jnp.asarray(extra_b_host, q.dtype), blk)
 
-        def body(i, carry):
-            q, u = carry
+        def advance_one(i, q, u, dt_c):
             u_eff = u - (u[0, 0] if shift_reference else 0.)
             topo_r = _topo_from_deformation(h_und, u_eff, cfg.dx,
                                             cfg.dy).astype(q.dtype)
@@ -176,13 +190,13 @@ def make_sharded_gp_ehl_loop(problem, mesh, active_dims, num_features,
             if use_pallas:
                 topo2 = lax.with_sharding_constraint(
                     pad_blocks2_jnp(topo_full, px, py), blk)
-                q = gp_loop(q, topo2, extra2, dt, K, gp_state)
+                q = gp_loop(q, topo2, extra2, dt_c, K, gp_state)
             else:
                 topo_b = lax.with_sharding_constraint(
                     pad_blocks_jnp(topo_full, px, py), blk)
 
                 def fluid(k, qq):
-                    return step(qq, topo_b, extra_b, dt, i * K + k,
+                    return step(qq, topo_b, extra_b, dt_c, i * K + k,
                                 gp_state)
 
                 q = lax.fori_loop(0, K, fluid, q)
@@ -212,6 +226,31 @@ def make_sharded_gp_ehl_loop(problem, mesh, active_dims, num_features,
             u_new = hs_deform(p.astype(u.dtype))
             u = (1. - alpha_K) * u + alpha_K * u_new
             return q, lax.with_sharding_constraint(u, repl)
+
+        if adaptive:
+            def body_a(i, carry):
+                q, u, dt_c, t = carry
+                q, u = advance_one(i, q, u, dt_c)
+                # dt refresh AFTER the deformation, from the updated
+                # topography (host _post_update sequencing)
+                u_eff2 = u - (u[0, 0] if shift_reference else 0.)
+                topo_n = _topo_from_deformation(h_und, u_eff2, cfg.dx,
+                                                cfg.dy).astype(q.dtype)
+                topo_nb = lax.with_sharding_constraint(
+                    pad_blocks_jnp(topo_n, px, py), blk)
+                t = t + dt_c
+                dt_c = cfl_fn(q, topo_nb, extra_b,
+                              gp_state).astype(dt_c.dtype)
+                return q, u, dt_c, t
+
+            return lax.fori_loop(
+                0, n_steps, body_a,
+                (q, u0, jnp.asarray(dt, q.dtype),
+                 jnp.zeros((), q.dtype)))
+
+        def body(i, carry):
+            q, u = carry
+            return advance_one(i, q, u, dt)
 
         return lax.fori_loop(0, n_steps // K, body, (q, u0))
 

@@ -100,3 +100,63 @@ def gp_problem_dims(problem):
                  for m in models)
     use = tuple(m.is_gp_model for m in models)
     return dims, problem.database.num_features, use
+
+
+@lru_cache(maxsize=16)
+def make_sharded_cfl_fn(cfg, active_dims, num_features, use_gp, mesh):
+    """Global adaptive-dt refresh for sharded GP states:
+    ``cfl(q, topo_blocks, extra_blocks, gp_state) -> dt`` (replicated).
+
+    Per shard the host-exact sound speed (core.gp_step.make_v_sound —
+    EOS, or the autodiffed GP-mean gradient) and the CFL ``v_max`` are
+    evaluated over the halo-padded block and max-reduced with
+    ``lax.pmax``.  The union of halo-padded blocks is exactly the
+    serial ghost-inclusive cell set (global edges carry the BC ghost
+    fills, interior halos duplicate interior cells) and max is
+    duplicate-insensitive — the same argument as the sharded AL
+    variance trigger (parallel.al)."""
+    from ..core.gp_step import make_v_sound
+
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    v_sound = make_v_sound(cfg, active_dims, num_features, use_gp)
+
+    def local(q, topo_pad, extra_pad, gp_state):
+        q_pad = _pad_with_halos(q, cfg, px, py)
+        c = v_sound(q_pad, topo_pad, extra_pad, gp_state)
+        c = lax.pmax(lax.pmax(c, "x"), "y")
+        v = jnp.sqrt(jnp.max((q_pad[1] ** 2 + q_pad[2] ** 2) / q_pad[0]))
+        v = lax.pmax(lax.pmax(v, "x"), "y")
+        return cfg.CFL * jnp.minimum(cfg.dx, cfg.dy) / (v + c)
+
+    spec = P(None, "x", "y")
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec, spec, spec, P()),
+                     out_specs=P(), check_vma=False)
+
+
+def make_sharded_gp_adaptive_trajectory(cfg, active_dims, num_features,
+                                        use_gp, mesh, n):
+    """n ADAPTIVE sharded GP-surrogate steps under one jit:
+    ``run(q, topo_blocks, extra_blocks, dt, step0, gp_state) ->
+    (q, dt, simtime_inc)`` with the host ``_post_update`` sequencing
+    (step, then ``dt = CFL * dmin / (v_max + v_sound)`` from the new
+    state — reference GaPFlow/problem.py:435-440)."""
+    step_raw = make_sharded_gp_step(cfg, active_dims, num_features,
+                                    use_gp, mesh)
+    cfl = make_sharded_cfl_fn(cfg, active_dims, num_features, use_gp,
+                              mesh)
+
+    @jax.jit
+    def run(q, topo_pad, extra_pad, dt, step0, gp_state):
+        def body(carry, i):
+            q, dt, t = carry
+            q = step_raw(q, topo_pad, extra_pad, dt, step0 + i, gp_state)
+            t = t + dt
+            dt = cfl(q, topo_pad, extra_pad, gp_state).astype(dt.dtype)
+            return (q, dt, t), None
+
+        (q, dt, t), _ = lax.scan(
+            body, (q, dt, jnp.zeros((), dt.dtype)), jnp.arange(n))
+        return q, dt, t
+
+    return run

@@ -1382,9 +1382,12 @@ class Problem:
 
         if self.step is None:
             self._pre_run()
-        if self.numerics["adaptive"] and (self.has_gp_model
-                                          or self.topo.elastic):
-            raise RuntimeError("sharded GP/EHL stepping uses a fixed dt")
+        if (self.numerics["adaptive"] and self.has_gp_model
+                and self._route_uses_al()):
+            raise RuntimeError(
+                "adaptive dt with active learning runs the per-step host "
+                "protocol loop; the sharded chunked advance carries a "
+                "fixed dt between acquisitions")
         if mesh is None:
             mesh = grid_mesh()
 
@@ -1485,21 +1488,42 @@ class Problem:
         if nx % px or ny % py:
             raise RuntimeError("interior grid must divide the mesh shape")
 
+        adaptive = bool(self.numerics["adaptive"])
+        t_inc = None
         if self.topo.elastic:
             from .parallel.ehl import make_sharded_gp_ehl_loop
             loop = make_sharded_gp_ehl_loop(
                 self, mesh, dims3, nf, use3, caps3,
-                deform_every=deform_every, use_pallas=use_pallas)
+                deform_every=(1 if adaptive else deform_every),
+                use_pallas=use_pallas, adaptive=adaptive)
             ed = self.topo.ElasticDeformation
             q, _, _ = shard_problem_arrays(self, mesh)
-            q, u = loop(q.astype(dtype), jnp.asarray(ed.u_prev),
-                        jnp.asarray(self.topo.full, dtype),
-                        jnp.asarray(self.dt, dtype), n, gp_state)
+            out = loop(q.astype(dtype), jnp.asarray(ed.u_prev),
+                       jnp.asarray(self.topo.full, dtype),
+                       jnp.asarray(self.dt, dtype), n, gp_state)
+            if adaptive:
+                q, u, dt_new, t_inc = out
+                self.dt = float(dt_new)
+            else:
+                q, u = out
             u = np.asarray(u)
             ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
             shift = u[0, 0] if ed.periodicity in ("half", "none") else 0.
             self.topo.deformation = u - shift
             self.topo.h = self.topo.h_undeformed + (u - shift)
+        elif adaptive:
+            # frozen-GP adaptive over the mesh: scanned sharded GP step
+            # with the dt carry and the pmax CFL refresh (parallel.gp)
+            from .parallel.gp import make_sharded_gp_adaptive_trajectory
+            q, topo_b, extra_b = shard_problem_arrays(self, mesh)
+            traj = make_sharded_gp_adaptive_trajectory(cfg, dims3, nf,
+                                                       use3, mesh, n)
+            q, dt_new, t_inc = traj(q.astype(dtype), topo_b.astype(dtype),
+                                    extra_b.astype(dtype),
+                                    jnp.asarray(self.dt, dtype),
+                                    jnp.asarray(self.step, jnp.int32),
+                                    gp_state)
+            self.dt = float(dt_new)
         else:
             if use_pallas is None:
                 from .ops.stencil_gp import gp_kernel_supported
@@ -1543,21 +1567,46 @@ class Problem:
             if m.is_gp_model:
                 m._step += n
         self.step += n
-        self.simtime += n * self.dt
+        self.simtime += (n * self.dt if t_inc is None else float(t_inc))
         return q
 
     def _run_steps_sharded_ehl(self, n, mesh, use_pallas, deform_every):
         """Deterministic-EHL family of :meth:`run_steps_sharded`:
         sharded fluid + replicated FFT deformation (parallel.ehl)."""
         from .models.eos import eos_pressure as _eos
-        from .parallel.ehl import make_sharded_ehl_loop
+        from .parallel.ehl import (make_sharded_ehl_loop,
+                                   make_sharded_gp_ehl_loop)
         from .parallel.halo import shard_problem_arrays
 
-        loop = make_sharded_ehl_loop(self, mesh, deform_every=deform_every,
-                                     use_pallas=use_pallas)
         ed = self.topo.ElasticDeformation
-        q, _, _ = shard_problem_arrays(self, mesh)
-        q, u = loop(q, jnp.asarray(ed.u_prev), jnp.asarray(self.dt), n)
+        adaptive = bool(self.numerics["adaptive"])
+        t_inc = None
+        if adaptive:
+            # deterministic surrogates through the GP-EHL adaptive loop
+            # (same end-of-step deformation convention; dt carried with
+            # the pmax CFL refresh)
+            dtype = jnp.asarray(self.q).dtype
+            n_extra = int(np.asarray(
+                self.fc.get_real_field("extra").p).shape[0])
+            nf = 6 + n_extra
+            gp_state = {"Xscale": jnp.ones((nf,), dtype)}
+            loop = make_sharded_gp_ehl_loop(
+                self, mesh, (None, None, None), nf,
+                (False, False, False), (0, 0, 0),
+                use_pallas=False, adaptive=True)
+            q, _, _ = shard_problem_arrays(self, mesh)
+            q, u, dt_new, t_inc = loop(q.astype(dtype),
+                                       jnp.asarray(ed.u_prev),
+                                       jnp.asarray(self.topo.full, dtype),
+                                       jnp.asarray(self.dt, dtype), n,
+                                       gp_state)
+            self.dt = float(dt_new)
+        else:
+            loop = make_sharded_ehl_loop(self, mesh,
+                                         deform_every=deform_every,
+                                         use_pallas=use_pallas)
+            q, _, _ = shard_problem_arrays(self, mesh)
+            q, u = loop(q, jnp.asarray(ed.u_prev), jnp.asarray(self.dt), n)
         u = np.asarray(u)
 
         ed.u_prev = jnp.asarray(u, jnp.asarray(ed.u_prev).dtype)
@@ -1569,7 +1618,7 @@ class Problem:
         self.fc.get_real_field("pressure").p[...] = np.asarray(
             _eos(jnp.asarray(self.q[0]), self._solver_cfg.prop))
         self.step += n
-        self.simtime += n * self.dt
+        self.simtime += (n * self.dt if t_inc is None else float(t_inc))
         return q
 
     def run_compiled(self, max_steps=None):

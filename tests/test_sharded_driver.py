@@ -327,3 +327,90 @@ def test_driver_sharded_det_adaptive_matches_host():
     np.testing.assert_allclose(p_sh.q, p_host.q, rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(p_sh.dt, p_host.dt, rtol=1e-10)
     np.testing.assert_allclose(p_sh.simtime, p_host.simtime, rtol=1e-10)
+
+
+@needs8
+def test_driver_sharded_gp_adaptive_matches_serial(tmp_path):
+    """Frozen-GP ADAPTIVE over the mesh: the scanned sharded GP step
+    with the dt carry and pmax CFL refresh equals the serial adaptive
+    device loop (which is host-exact, tests/test_adaptive_device.py)."""
+    n = 5
+    sim_ad = _gp_sim(tmp_path, "gad").replace("adaptive: 0",
+                                              "adaptive: 1")
+
+    p_ref = Problem.from_string(sim_ad)
+    p_ref._pre_run()
+    p_sh = Problem.from_string(
+        _gp_sim(tmp_path, "gad2").replace("adaptive: 0", "adaptive: 1"))
+    p_sh._pre_run()
+
+    p_ref.run_steps_gp_fast(n)
+    mesh = grid_mesh(jax.devices()[:8], shape=(4, 2))
+    p_sh.run_steps_sharded(n, mesh=mesh)
+
+    assert p_sh.step == p_ref.step == n
+    np.testing.assert_allclose(p_sh.q, p_ref.q, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(p_sh.dt, p_ref.dt, rtol=1e-10)
+    np.testing.assert_allclose(p_sh.simtime, p_ref.simtime, rtol=1e-10)
+
+
+@needs8
+def test_driver_sharded_gp_ehl_adaptive_matches_serial(tmp_path):
+    """GP x ELASTIC ADAPTIVE over the mesh equals the serial adaptive
+    fused GP-EHL loop under the shared end-of-step pressure
+    convention."""
+    from gapflow_tpu.core.ehl import make_gp_ehl_loop
+
+    n = 4
+    sim_ad = _gp_sim(tmp_path, "gead", elastic=True).replace(
+        "adaptive: 0", "adaptive: 1")
+
+    p_ref = Problem.from_string(sim_ad)
+    p_ref._pre_run()
+    p_sh = Problem.from_string(_gp_sim(tmp_path, "gead2", elastic=True)
+                               .replace("adaptive: 0", "adaptive: 1"))
+    p_sh._pre_run()
+
+    gp_state, dims3, use3, caps3, nf, dtype, _ = p_ref._frozen_gp_state()
+    loop = make_gp_ehl_loop(p_ref, dims3, nf, use3, end_pressure=True,
+                            adaptive=True)
+    ed_ref = p_ref.topo.ElasticDeformation
+    q_ref, u_ref, dt_ref, t_ref = loop(
+        jnp.asarray(p_ref.q, dtype), jnp.asarray(ed_ref.u_prev),
+        jnp.asarray(p_ref.topo.full, dtype),
+        jnp.asarray(p_ref.dt, dtype), jnp.asarray(0, jnp.int32), n,
+        gp_state)
+
+    mesh = grid_mesh(jax.devices()[:8], shape=(4, 2))
+    p_sh.run_steps_sharded(n, mesh=mesh)
+
+    assert p_sh.step == n
+    np.testing.assert_allclose(p_sh.q[:, 1:-1, 1:-1],
+                               np.asarray(q_ref)[:, 1:-1, 1:-1],
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(p_sh.dt, float(dt_ref), rtol=1e-10)
+    np.testing.assert_allclose(p_sh.simtime, float(t_ref), rtol=1e-10)
+    u_sh = np.asarray(p_sh.topo.ElasticDeformation.u_prev)
+    scale = max(np.abs(np.asarray(u_ref)).max(), 1e-30)
+    assert np.abs(u_sh - np.asarray(u_ref)).max() / scale < 1e-8
+
+
+@needs8
+def test_driver_sharded_det_ehl_adaptive_runs():
+    """Deterministic ELASTIC ADAPTIVE over the mesh: the dummy-GP
+    adaptive loop advances with a refreshing dt and stays finite."""
+    n = 4
+    sim_ad = _det_elastic.replace("adaptive: 0", "adaptive: 1")
+
+    p = Problem.from_string(sim_ad)
+    p._pre_run()
+    dt0 = p.dt
+    mesh = grid_mesh(jax.devices()[:8], shape=(4, 2))
+    p.run_steps_sharded(n, mesh=mesh)
+
+    assert p.step == n
+    assert np.isfinite(p.dt) and p.dt != dt0
+    assert p.simtime > 0.
+    assert np.all(np.isfinite(p.q))
+    assert np.all(np.isfinite(np.asarray(
+        p.topo.ElasticDeformation.u_prev)))
