@@ -888,8 +888,12 @@ def main():
     deadline = max(deadline, time.monotonic() + stage_budget)
     emit()
 
-    def stage(name, fn):
-        est = _EST.get(name, 90)
+    def stage(name, fn, self_capped=False):
+        # self-capped stages bound their own wall-clock from remaining()
+        # (the correctness blocks) — launch them whenever any useful
+        # slice of budget is left instead of est-skipping on a recorded
+        # duration that a previous, larger window produced
+        est = 40 if self_capped else _EST.get(name, 90)
         if remaining() < est:
             skipped.append(name)
             result["skipped"] = skipped
@@ -1004,17 +1008,17 @@ def main():
             result["gp_closed_cap1024_sol_fraction"] = float(
                 result["gp_closed_1024_cap1024_cu_s"] / sol1024)
 
-    def _correct():
+    def _run_checks(names, block_s):
         # correctness on the SAME backend as the throughput numbers: f32
         # Sommerfeld through the production loop + perturbed Pallas-vs-XLA
         # equality (on TPU this is the only Mosaic-compiled check; the CPU
-        # suite runs the kernels in interpret mode only).  The block gets
-        # most of the remaining budget but must leave the gp_closed /
-        # ehl headline stages room — it skips pending sub-checks at its
+        # suite runs the kernels in interpret mode only).  Each block is
+        # internally deadline-capped — it skips pending sub-checks at its
         # own deadline instead of blowing the global one (round 4's
-        # failure mode).
+        # failure mode) — and repeated calls MERGE (ok ANDs, no check
+        # runs twice).
         from gapflow_tpu.validate import correctness_block
-        result["correctness"] = {}
+        result.setdefault("correctness", {})
         try:
             with open(_COSTS_PATH) as fh:
                 est = {k[5:]: 1.2 * v for k, v in json.load(fh).items()
@@ -1022,12 +1026,12 @@ def main():
         except Exception:
             est = {}
         # conservative first-run estimates for the compile-heavy checks
-        est.setdefault("gp_kernel", 170)
+        # (cold measured: gp_kernel 254 s, al_chunked 166-358 s)
+        est.setdefault("gp_kernel", 260)
         est.setdefault("al_chunked", 250)
         correctness_block(
-            deadline=time.monotonic()
-            + min(300., max(60., 0.4 * remaining())),
-            out=result["correctness"], est=est)
+            deadline=time.monotonic() + block_s,
+            out=result["correctness"], est=est, names=names)
         try:
             with open(_COSTS_PATH) as fh:
                 costs = json.load(fh)
@@ -1041,26 +1045,39 @@ def main():
         except Exception:
             pass
 
+    def _correct_core():
+        # the cheap trio (~62 s cold): guarantees a correctness.ok
+        # verdict early, before any tight driver window closes
+        from gapflow_tpu.validate import CORE_CHECKS
+        _run_checks(CORE_CHECKS, min(150., max(45., 0.3 * remaining())))
+
+    def _correct():
+        # the four deep checks measure ~254+250+30+200 s cold — the cap
+        # only binds when the budget is genuinely large enough for them
+        _run_checks(None, min(800., max(60., 0.4 * remaining())))
+
     # priority order: headline + the verdict-required metric set first,
-    # nice-to-have stages last (they are the ones a tight window skips)
-    # every VERDICT-required throughput metric runs BEFORE the
-    # (compile-heavy, internally-capped) correctness block; the axon
-    # backend re-pays every kernel compile each run, so ordering IS the
-    # budget allocation
+    # nice-to-have stages last (they are the ones a tight window skips).
+    # The correctness verdict is split: the cheap core trio (~62 s cold)
+    # runs EARLY so correctness.ok exists under any window; the
+    # compile-heavy deep checks run after every required throughput
+    # metric.  The axon backend re-pays every kernel compile each run,
+    # so ordering IS the budget allocation.
     stage("fv_1024", _fv1024)
     stage("ici", _ici)
     stage("gp_refit", _refit)
     stage("gp_sol", _gp_sol)
     stage("gp_closed_cap64", _gp64)
     stage("gp_closed_cap64_fast", _gp64_fast)
+    stage("correct_core", _correct_core, self_capped=True)
     stage("ehl_1024", _ehl1024)
     stage("gp_ehl_1024", _gp_ehl)
     stage("sharded_local", _shard)
     stage("gp_closed_dn", _gp_dn)
-    stage("correctness", _correct)
     stage("gp_closed_cap1024", _gp1024)
     stage("gp_closed_cap1024_fast", _gp1024_fast)
     stage("ehl_4096", _ehl4096)
+    stage("correctness", _correct, self_capped=True)
     stage("fv_2048", _fv2048)
     stage("ehl_1024_ghost", _ehl1024g)
     stage("gp_al_e2e", _al_e2e)

@@ -424,8 +424,18 @@ def gp_loop_parity(cap=96, n=3):
     return {"q_scaled_maxerr": q_err, "ok": bool(q_err < 5e-5)}
 
 
+# the cheap high-value trio (~60 s cold on the tunnel TPU): production
+# f32 physics + deterministic Pallas parity + the EHL DMA pipeline.
+# Running these as their own early bench stage guarantees a
+# ``correctness.ok`` verdict even when the driver window kills the run
+# before the compile-heavy deep checks (gp_kernel parity alone measures
+# ~250 s cold).
+CORE_CHECKS = ("pallas_vs_xla_max_scaled_err", "sommerfeld_l2",
+               "ehl_kernel")
+
+
 def correctness_block(sommerfeld_steps=20000, deadline=None, out=None,
-                      est=None):
+                      est=None, names=None):
     """Run the checks; returns a dict for the bench JSON line.
 
     ``ok`` is False on any regression — bench.py exits nonzero on it.
@@ -441,17 +451,22 @@ def correctness_block(sommerfeld_steps=20000, deadline=None, out=None,
     values): a check whose estimate does not fit before the deadline is
     skipped up front instead of overrunning it in flight (al_chunked
     measured 166-358 s; an in-flight overrun starves later bench
-    stages).
+    stages).  ``names`` restricts the run to a subset of checks (the
+    bench runs CORE_CHECKS as an early stage of their own); repeated
+    calls MERGE into ``out``: check_s/skipped accumulate, already-run
+    checks are not repeated, and ``ok`` ANDs across calls.
     """
     import time as _time
 
     checks = [
-        ("pallas_vs_xla_max_scaled_err", pallas_vs_xla_err),
-        ("gp_kernel", gp_kernel_parity),
+        # cheap first (cold costs measured on the tunnel TPU) so a
+        # tight deadline still yields a multi-check verdict
+        ("pallas_vs_xla_max_scaled_err", pallas_vs_xla_err),    # ~11 s
+        ("ehl_kernel", ehl_kernel_bitexact),                    # ~20 s
         ("sommerfeld_l2",
-         lambda: sommerfeld_l2(n_steps=sommerfeld_steps)),
-        ("ehl_kernel", ehl_kernel_bitexact),
-        ("al_chunked", al_chunked_parity),
+         lambda: sommerfeld_l2(n_steps=sommerfeld_steps)),      # ~31 s
+        ("gp_kernel", gp_kernel_parity),                        # ~254 s
+        ("al_chunked", al_chunked_parity),                      # ~250 s
         ("pallas_thinning_vs_xla_max_scaled_err",
          lambda: pallas_vs_xla_err(
              extra_props=", piezo: {name: Barus, aB: 2.e-9}, "
@@ -468,12 +483,21 @@ def correctness_block(sommerfeld_steps=20000, deadline=None, out=None,
 
     out = {} if out is None else out
     est = est or {}
-    out.update({"check_s": {}, "skipped": [], "ok": True})
+    out.setdefault("check_s", {})
+    out.setdefault("skipped", [])
+    out.setdefault("ok", True)
     for name, fn in checks:
+        if names is not None and name not in names:
+            continue
+        if name in out["check_s"]:
+            continue
         if deadline is not None and (_time.monotonic()
                                      + est.get(name, 0.) > deadline):
-            out["skipped"].append(name)
+            if name not in out["skipped"]:
+                out["skipped"].append(name)
             continue
+        if name in out["skipped"]:
+            out["skipped"].remove(name)
         t0 = _time.monotonic()
         res = fn()
         out[name] = res
@@ -482,5 +506,5 @@ def correctness_block(sommerfeld_steps=20000, deadline=None, out=None,
                   else bool(res["ok"]))
         out["ok"] = bool(out["ok"] and passed)
     if not out["skipped"]:
-        del out["skipped"]
+        out.pop("skipped", None)
     return out
